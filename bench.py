@@ -1,0 +1,77 @@
+"""Benchmark: encrypted-DB scan throughput of the Spiral first-dim multiply
+on the real TPU chip.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline: the Spiral paper's ~1 GB/s/core CPU DB-scan design point
+(BASELINE.md; the reference publishes no absolute numbers). vs_baseline is
+the speedup multiple over 1 GB/s.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sdk_tpu.params import params_from_json
+    from sdk_tpu.ops import spiral_jax as sj
+
+    # Production-shaped scan: dim0=512, num_per=64 (nu_1=9, nu_2=6), n=2.
+    params = params_from_json(
+        '{"n": 2, "nu_1": 9, "nu_2": 6, "p": 256, "q2_bits": 20, "t_gsw": 8,'
+        ' "t_conv": 4, "t_exp_left": 8, "t_exp_right": 56, "instances": 1,'
+        ' "db_item_size": 8192}'
+    )
+    dim0 = 1 << params.db_dim_1
+    num_per = 1 << params.db_dim_2
+    trials = params.n * params.n
+
+    rng = np.random.default_rng(0)
+    db = np.empty((trials, params.crt_count, params.poly_len, num_per, dim0),
+                  dtype=np.uint32)
+    q_arr = np.empty((params.crt_count, params.poly_len, dim0, 2), dtype=np.uint32)
+    for c, q in enumerate(params.moduli):
+        db[:, c] = rng.integers(0, q, (trials, params.poly_len, num_per, dim0),
+                                dtype=np.uint64)
+        q_arr[c] = rng.integers(0, q, (params.poly_len, dim0, 2), dtype=np.uint64)
+
+    db_dev = jnp.asarray(db)
+    q_dev = jnp.asarray(q_arr)
+
+    @jax.jit
+    def scan(db, q_arr):
+        return jax.vmap(lambda d: sj.firstdim_multiply(params, d, q_arr))(db)
+
+    out = scan(db_dev, q_dev)
+    out.block_until_ready()  # compile
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = scan(db_dev, q_dev)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    # DB bytes scanned per query pass: the packed-representation size the
+    # reference uses (2 CRT residues per u64 => 8 bytes per coefficient).
+    db_bytes = trials * params.poly_len * num_per * dim0 * 8
+    gbps = db_bytes / dt / 1e9
+    baseline_gbps = 1.0  # Spiral paper ~1 GB/s/core CPU design point
+    print(json.dumps({
+        "metric": "spiral_firstdim_scan_throughput",
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / baseline_gbps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

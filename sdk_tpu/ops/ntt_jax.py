@@ -1,0 +1,105 @@
+"""Negacyclic NTT on TPU (JAX/XLA), bit-identical to the host oracle
+(sdk_tpu.ntt_host, reference lib/spiral-rs/src/ntt.rs).
+
+Harvey butterflies with Shoup-scaled twiddles in uint32 lanes: the reference
+computes `w*y - mulhi32(y, w')*q` in u64; both terms' true difference is
+< 2q < 2^30, so wrapping uint32 arithmetic yields the identical value.
+Lazy reduction keeps values in [0, 4q) (forward) / [0, 2q) (inverse),
+exactly like the reference, so outputs match word-for-word.
+
+Layout: uint32 arrays shaped (..., crt_count, poly_len); batch dims lead.
+All stage structure is static (poly_len fixed at trace time) so the 11
+stages unroll into one fused XLA program.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..params import Params
+from .modops import U32, mul32_hi
+
+_TABLE_CACHE: dict = {}
+
+
+def get_tables_u32(params: Params):
+    """Per-channel (w, w', w_inv, w_inv') tables as numpy uint32 arrays."""
+    key = (params.poly_len, params.moduli)
+    if key not in _TABLE_CACHE:
+        out = []
+        for c in range(params.crt_count):
+            tbl = params.ntt_tables[c]
+            out.append(tuple(t.astype(np.uint32) for t in tbl))
+        _TABLE_CACHE[key] = out
+    return _TABLE_CACHE[key]
+
+
+def _fwd_channel(x, w_tbl: np.ndarray, wp_tbl: np.ndarray, q: int):
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    two_q = U32(2 * q)
+    batch = x.shape[:-1]
+    op = x.astype(U32)
+    for mm in range(log_n):
+        m = 1 << mm
+        t = n >> (mm + 1)
+        v = op.reshape(batch + (m, 2, t))
+        xs = v[..., 0, :]
+        ys = v[..., 1, :]
+        w = jnp.asarray(w_tbl[m : 2 * m].reshape(m, 1))
+        wp = jnp.asarray(wp_tbl[m : 2 * m].reshape(m, 1))
+        curr_x = jnp.where(xs >= two_q, xs - two_q, xs)
+        q_tmp = mul32_hi(ys, jnp.broadcast_to(wp, ys.shape))
+        q_new = w * ys - q_tmp * U32(q)
+        nx = curr_x + q_new
+        ny = curr_x + (two_q - q_new)
+        op = jnp.stack([nx, ny], axis=-2).reshape(batch + (n,))
+    op = jnp.where(op >= two_q, op - two_q, op)
+    op = jnp.where(op >= U32(q), op - U32(q), op)
+    return op
+
+
+def _inv_channel(x, w_tbl: np.ndarray, wp_tbl: np.ndarray, q: int):
+    n = x.shape[-1]
+    log_n = n.bit_length() - 1
+    two_q = U32(2 * q)
+    batch = x.shape[:-1]
+    op = x.astype(U32)
+    for mm in reversed(range(log_n)):
+        h = 1 << mm
+        t = n >> (mm + 1)
+        v = op.reshape(batch + (h, 2, t))
+        xs = v[..., 0, :]
+        ys = v[..., 1, :]
+        w = jnp.asarray(w_tbl[h : 2 * h].reshape(h, 1))
+        wp = jnp.asarray(wp_tbl[h : 2 * h].reshape(h, 1))
+        t_tmp = two_q - ys + xs
+        curr_x = xs + ys - jnp.where((xs << U32(1)) >= t_tmp, two_q, U32(0))
+        h_tmp = mul32_hi(t_tmp, jnp.broadcast_to(wp, t_tmp.shape))
+        nx = (curr_x + U32(q) * (t_tmp & U32(1))) >> U32(1)
+        ny = w * t_tmp - h_tmp * U32(q)
+        op = jnp.stack([nx, ny], axis=-2).reshape(batch + (n,))
+    op = jnp.where(op >= two_q, op - two_q, op)
+    op = jnp.where(op >= U32(q), op - U32(q), op)
+    return op
+
+
+def ntt_forward(params: Params, x):
+    """x: (..., crt_count, poly_len) uint32 (values < 2^32, reduced lazily)."""
+    tables = get_tables_u32(params)
+    chans = []
+    for c in range(params.crt_count):
+        w, wp, _, _ = tables[c]
+        chans.append(_fwd_channel(x[..., c, :], w, wp, params.moduli[c]))
+    return jnp.stack(chans, axis=-2)
+
+
+def ntt_inverse(params: Params, x):
+    """x: (..., crt_count, poly_len) uint32 → coefficients in [0, q_c)."""
+    tables = get_tables_u32(params)
+    chans = []
+    for c in range(params.crt_count):
+        _, _, wi, wip = tables[c]
+        chans.append(_inv_channel(x[..., c, :], wi, wip, params.moduli[c]))
+    return jnp.stack(chans, axis=-2)

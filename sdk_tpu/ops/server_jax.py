@@ -1,0 +1,194 @@
+"""TPU Spiral server: device state + the jit-compiled query pipeline.
+
+Host glue (wire formats, rescale/bit-pack encode) stays in numpy; everything
+between query deserialization and response encoding runs as one traced JAX
+program (expansion -> first-dim MXU matvec -> fold -> pack).
+
+Reference pipeline: lib/server/src/server.rs:17-99 (process_query) and
+lib/spiral-rs/src/server.rs:650-741.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import poly as hpoly
+from ..arith import rescale_arr
+from ..bitpack import write_fields
+from ..client import PublicParameters, Query
+from ..params import Params, Q2_VALUES
+from ..arith import log2_ceil
+from . import spiral_jax as sj
+from .modops import U32
+
+U64 = np.uint64
+
+
+def _split_pair_np(a: np.ndarray):
+    """u64 numpy -> (hi, lo) u32 numpy."""
+    return (a >> U64(32)).astype(np.uint32), a.astype(np.uint32)
+
+
+def _join_pair_np(hi: np.ndarray, lo: np.ndarray):
+    return (hi.astype(U64) << U64(32)) | lo.astype(U64)
+
+
+def db_tensor_to_device(params: Params, db_host: np.ndarray):
+    """Host DB tensor (inst, trials, poly_len, crt, num_per, dim0) u64 ->
+    device (inst, trials, crt, poly_len, num_per, dim0) u32."""
+    return jnp.asarray(
+        np.ascontiguousarray(db_host.transpose(0, 1, 3, 2, 4, 5)).astype(np.uint32))
+
+
+def pp_to_device(params: Params, pp: PublicParameters) -> dict:
+    """Stack public-parameter matrices into device uint32 arrays."""
+    out = {"v_packing": jnp.asarray(
+        np.stack([m.astype(np.uint32) for m in pp.v_packing]))}
+    if params.expand_queries:
+        out["v_exp_left"] = [jnp.asarray(m.astype(np.uint32))
+                             for m in pp.v_expansion_left]
+        right = pp.v_expansion_right or pp.v_expansion_left
+        out["v_exp_right"] = [jnp.asarray(m.astype(np.uint32)) for m in right]
+        out["v_conversion"] = jnp.asarray(pp.v_conversion[0].astype(np.uint32))
+    return out
+
+
+class SpiralServerJax:
+    """Device-resident Spiral server for one parameter set."""
+
+    def __init__(self, params: Params):
+        self.params = params
+        self.plan = sj.ExpansionPlan(params) if params.expand_queries else None
+        g = hpoly.to_ntt(params, hpoly.build_gadget(params, 2, 2 * params.t_gsw))
+        self.gadget_ntt_u32 = g.astype(np.uint32)
+        self.db = None
+        self._jit_expand = jax.jit(self._expand_impl)
+        self._jit_scan_fold = jax.jit(self._scan_fold_impl)
+        self._jit_pack = jax.jit(self._pack_impl)
+
+    # -- state --
+
+    def set_db_from_items(self, items: np.ndarray):
+        """items: (instances, trials, num_items, poly_len) mod-p uint64."""
+        from ..server_host import build_db_tensor
+
+        self.db = db_tensor_to_device(self.params, build_db_tensor(self.params, items))
+
+    def set_db_host_tensor(self, db_host: np.ndarray):
+        self.db = db_tensor_to_device(self.params, db_host)
+
+    # -- traced stages --
+
+    def _expand_impl(self, ct0_hi, ct0_lo, v_exp_left, v_exp_right, v_conv):
+        params = self.params
+        ct0 = sj.to_ntt(params, ct0_hi, ct0_lo)          # (2, 1, crt, n)
+        right_expanded = params.t_gsw * params.db_dim_2
+        cts = sj.coefficient_expansion(params, self.plan, ct0, v_exp_left,
+                                       v_exp_right, right_expanded)
+        dim0 = 1 << params.db_dim_1
+        if params.db_dim_2 > 0:
+            v_reg = cts[0::2][:dim0]
+            v_gsw_inp = cts[1::2][:right_expanded]
+            v_folding = sj.regev_to_gsw(params, v_gsw_inp, v_conv)
+        else:
+            v_reg = cts[:dim0]
+            v_folding = jnp.zeros(
+                (0, 2, 2 * params.t_gsw, params.crt_count, params.poly_len),
+                dtype=U32)
+        # firstdim layout: (crt, poly_len, dim0, 2)
+        q_arr = jnp.transpose(v_reg[:, :, 0], (2, 3, 0, 1))
+        return q_arr, v_folding
+
+    def _scan_fold_impl(self, db, q_arr, v_folding):
+        """db: (inst, trials, crt, z, num_per, dim0). Returns folded raw cts
+        (inst, trials, 2, 1, poly_len) pairs."""
+        params = self.params
+        v_folding_neg = sj.get_v_folding_neg(params, v_folding,
+                                             self.gadget_ntt_u32)
+
+        def one_trial(db_slice):
+            inter = sj.firstdim_multiply(params, db_slice, q_arr)
+            # (crt, z, num_per, 2) -> NTT cts (num_per, 2, 1, crt, z)
+            cts = jnp.transpose(inter, (2, 3, 0, 1))[:, :, None, :, :]
+            hi, lo = sj.from_ntt(params, cts)
+            return sj.fold_ciphertexts(params, hi, lo, v_folding, v_folding_neg)
+
+        it = db.reshape((-1,) + db.shape[2:])
+        hi, lo = jax.vmap(one_trial)(it)
+        shape = db.shape[:2] + hi.shape[1:]
+        return hi.reshape(shape), lo.reshape(shape)
+
+    def _pack_impl(self, folded_hi, folded_lo, v_packing):
+        """folded: (inst, trials, 2, 1, n) pairs -> packed raw
+        (inst, n+1, n, poly_len) pairs."""
+        params = self.params
+        outs_h, outs_l = [], []
+        for inst in range(params.instances):
+            packed = sj.pack(params, folded_hi[inst], folded_lo[inst],
+                             [v_packing[i] for i in range(v_packing.shape[0])])
+            h, l = sj.from_ntt(params, packed)
+            outs_h.append(h)
+            outs_l.append(l)
+        return jnp.stack(outs_h), jnp.stack(outs_l)
+
+    # -- host orchestration --
+
+    def expand_query(self, pp_dev: dict, query: Query):
+        params = self.params
+        ct_hi, ct_lo = _split_pair_np(query.ct)
+        q_arr, v_folding = self._jit_expand(
+            jnp.asarray(ct_hi), jnp.asarray(ct_lo),
+            pp_dev["v_exp_left"], pp_dev["v_exp_right"], pp_dev["v_conversion"])
+        return q_arr, v_folding
+
+    def query_to_device(self, pp_dev: dict, query: Query):
+        """Returns (q_arr, v_folding) device arrays for either query kind."""
+        params = self.params
+        if params.expand_queries:
+            return self.expand_query(pp_dev, query)
+        # direct-upload: unpack the reoriented buffer [z][j][r] packed u64
+        dim0 = 1 << params.db_dim_1
+        buf = query.v_buf.reshape(params.poly_len, dim0, 2)
+        q0 = (buf & U64(0xFFFFFFFF)).astype(np.uint32)
+        q1 = (buf >> U64(32)).astype(np.uint32)
+        # buf axes are (z, j, r) — target (crt, z, dim0, 2)
+        q_arr = jnp.asarray(np.stack([q0, q1]))
+        v_ct = np.stack(query.v_ct)                  # (dim2, 2, 2*t_gsw, n) u64
+        hi, lo = _split_pair_np(v_ct)
+        v_folding = jax.jit(functools.partial(sj.to_ntt, params))(
+            jnp.asarray(hi), jnp.asarray(lo))
+        return q_arr, v_folding
+
+    def process_query(self, pp: PublicParameters | dict, query: Query) -> bytes:
+        params = self.params
+        pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
+        q_arr, v_folding = self.query_to_device(pp_dev, query)
+        f_hi, f_lo = self._jit_scan_fold(self.db, q_arr, v_folding)
+        p_hi, p_lo = self._jit_pack(f_hi, f_lo, pp_dev["v_packing"])
+        packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
+        return encode_response(params, packed)
+
+
+def encode_response(params: Params, packed: np.ndarray) -> bytes:
+    """packed: (instances, n+1, n, poly_len) raw u64. Rescale + bit-pack
+    (reference server.rs:470-503)."""
+    q1 = 4 * params.pt_modulus
+    q1_bits = log2_ceil(q1)
+    q2 = Q2_VALUES[params.q2_bits]
+    q2_bits = params.q2_bits
+    num_bits = params.instances * (
+        q2_bits * params.n * params.poly_len
+        + q1_bits * params.n * params.n * params.poly_len)
+    num_bytes = ((num_bits + 63) // 64) * 8
+    result = bytearray(num_bytes)
+    bit_offs = 0
+    for instance in range(params.instances):
+        first_row = rescale_arr(packed[instance, 0], params.modulus, q2)
+        rest_rows = rescale_arr(packed[instance, 1:], params.modulus, q1)
+        bit_offs = write_fields(result, first_row.reshape(-1), bit_offs, q2_bits)
+        bit_offs = write_fields(result, rest_rows.reshape(-1), bit_offs, q1_bits)
+    return bytes(result)

@@ -1,0 +1,102 @@
+"""Multi-chip sharded serving for the Spiral pipeline.
+
+The reference's only cross-node pattern is "shard DB rows, sum partial
+responses" (lib/doublepir/src/bin/e2e.rs:60-106; enabled by LWE linearity).
+On TPU this becomes a first-class collective: the encrypted DB tensor is
+sharded over a device mesh and partial ciphertext sums are reduced with
+psum over ICI.
+
+Mesh axes:
+  dp : data parallel over instances*trials (independent PIR sub-problems;
+       reference rayon par_iter, lib/server/src/server.rs:53-88)
+  db : first-dimension rows (dim0) of the DB tensor; firstdim partial sums
+       are psum-reduced over this axis.
+
+Overflow discipline: per-shard partial sums are canonical in [0, q); they
+are psum'd as 16-bit halves so any mesh size up to 2^16 devices stays exact
+in uint32, then recombined mod q.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..params import Params
+from . import spiral_jax as sj
+from .modops import U32, cond_sub, cond_sub_q, reduce_u32_mod_q, shoup_mulmod_lazy
+
+
+def psum_mod(x, q: int, axis_name: str):
+    """Exact mod-q psum of values in [0, q) over a mesh axis."""
+    lo = x & U32(0xFFFF)
+    hi = x >> U32(16)
+    lo_s = jax.lax.psum(lo, axis_name)          # < D * 2^16
+    hi_s = jax.lax.psum(hi, axis_name)          # < D * 2^12
+    r = shoup_mulmod_lazy(hi_s, (1 << 16) % q, q) + reduce_u32_mod_q(lo_s, q)
+    r = cond_sub(r, 2 * q)
+    return cond_sub_q(r, q)
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None):
+    """1- or 2-axis mesh over the available devices: (dp, db)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if dp is None:
+        dp = 1
+    assert n % dp == 0
+    arr = np.array(devs).reshape(dp, n // dp)
+    return Mesh(arr, axis_names=("dp", "db"))
+
+
+class ShardedSpiralScan:
+    """Sharded scan+fold step builder for a SpiralServerJax-compatible state."""
+
+    def __init__(self, params: Params, mesh: Mesh, gadget_ntt_u32: np.ndarray):
+        self.params = params
+        self.mesh = mesh
+        self.gadget_ntt_u32 = gadget_ntt_u32
+
+        db_spec = P(None, "dp", None, None, None, "db")
+        q_spec = P(None, None, "db", None)
+        fold_spec = P()  # replicated (small)
+        out_spec = (P(None, "dp"), P(None, "dp"))
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(db_spec, q_spec, fold_spec),
+            out_specs=out_spec, check_rep=False)
+        def scan_fold(db, q_arr, v_folding):
+            params = self.params
+            v_folding_neg = sj.get_v_folding_neg(params, v_folding,
+                                                 self.gadget_ntt_u32)
+
+            def one_trial(db_slice):
+                # partial over the local dim0 shard, then exact mod-q psum
+                partial = sj.firstdim_multiply(params, db_slice, q_arr)
+                full = jnp.stack([
+                    psum_mod(partial[c], q, "db")
+                    for c, q in enumerate(params.moduli)])
+                cts = jnp.transpose(full, (2, 3, 0, 1))[:, :, None, :, :]
+                hi, lo = sj.from_ntt(params, cts)
+                return sj.fold_ciphertexts(params, hi, lo, v_folding,
+                                           v_folding_neg)
+
+            it = db.reshape((-1,) + db.shape[2:])
+            hi, lo = jax.vmap(one_trial)(it)
+            shape = db.shape[:2] + hi.shape[1:]
+            return hi.reshape(shape), lo.reshape(shape)
+
+        self.scan_fold = jax.jit(scan_fold)
+
+    def shard_db(self, db):
+        """Place a (inst, trials, crt, z, num_per, dim0) device array onto the
+        mesh with the scan sharding."""
+        spec = P(None, "dp", None, None, None, "db")
+        return jax.device_put(db, jax.sharding.NamedSharding(self.mesh, spec))

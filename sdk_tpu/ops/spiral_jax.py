@@ -1,0 +1,401 @@
+"""Spiral server compute pipeline on TPU (JAX/XLA).
+
+Re-implements the reference server pipeline (lib/spiral-rs/src/server.rs,
+lib/server/src/compute/*) as one jit-compiled program over uint32 tensors:
+
+  expand_query  : automorphism-based coefficient expansion + Regev->GSW
+  first-dim mul : encrypted-query x DB matvec -> 7-bit-limb int8 matmuls (MXU)
+  fold          : GSW external products over db_dim_2 rounds
+  pack          : recombine n*n scalar cts into one matrix ct
+
+Bit-exact against the host oracle (sdk_tpu.server_host); every value is
+carried either as per-CRT-channel uint32 residues (NTT domain) or as
+(hi, lo) uint32 pairs for 64-bit coefficient-domain values mod Q = q0*q1.
+
+Layout conventions (batch dims lead, poly axis last):
+  NTT matrix   : (rows, cols, crt, poly_len) uint32
+  raw matrix   : pair of (rows, cols, poly_len) uint32 (hi, lo)
+  DB tensor    : (instances, trials, crt, poly_len, num_per, dim0) uint32
+  firstdim qry : (crt, poly_len, dim0, 2) uint32
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..params import Params
+from . import modops
+from .modops import (
+    U32,
+    cond_sub,
+    cond_sub_q,
+    crt_compose_pair,
+    mulmod,
+    reduce_u32_mod_q,
+    reduce_u32_mod_q_lazy,
+    reduce_u64_pair_mod_q,
+    shoup_mulmod_lazy,
+    u64_add,
+    u64_bits,
+    u64_const_sub,
+)
+from .ntt_jax import ntt_forward, ntt_inverse
+
+LIMB_BITS = 7
+NUM_LIMBS = 4  # 4 x 7 = 28 bits covers both CRT moduli (q < 2^28)
+
+
+# ---------------------------------------------------------------------------
+# domain conversions
+# ---------------------------------------------------------------------------
+
+def to_ntt(params: Params, hi, lo):
+    """raw (hi, lo) pairs (..., poly_len) -> NTT (..., crt, poly_len)."""
+    chans = [reduce_u64_pair_mod_q(hi, lo, q) for q in params.moduli]
+    return ntt_forward(params, jnp.stack(chans, axis=-2))
+
+
+def to_ntt_no_reduce(params: Params, digits):
+    """digits (..., poly_len) u32 (< 4q) -> NTT, copied into every channel
+    unreduced (reference poly.rs:625-638)."""
+    stacked = jnp.stack([digits] * params.crt_count, axis=-2)
+    return ntt_forward(params, stacked)
+
+
+def from_ntt(params: Params, x):
+    """NTT (..., crt, poly_len) -> raw (hi, lo) pairs, CRT-composed."""
+    coeffs = ntt_inverse(params, x)
+    q0, q1 = params.moduli
+    return crt_compose_pair(coeffs[..., 0, :], coeffs[..., 1, :], q0, q1)
+
+
+# ---------------------------------------------------------------------------
+# modular matmul over NTT-domain matrices (small dims; VPU)
+# ---------------------------------------------------------------------------
+
+def _sum_mod(t, axis: int, q: int):
+    """Sum over `axis` of values < q, exact mod q. Chunks of 8 keep partial
+    sums < 8q < 2^31."""
+    k = t.shape[axis]
+    while k > 1:
+        g = min(8, k)
+        pad = (-k) % g
+        if pad:
+            widths = [(0, 0)] * t.ndim
+            widths[axis] = (0, pad)
+            t = jnp.pad(t, widths)
+        shape = list(t.shape)
+        shape[axis : axis + 1] = [(k + pad) // g, g]
+        t = t.reshape(shape).sum(axis=axis + 1, dtype=U32)
+        t = reduce_u32_mod_q(t, q)
+        k = t.shape[axis]
+    return jnp.take(t, 0, axis=axis)
+
+
+def matmul_mod(params: Params, a, b):
+    """NTT-domain modular matmul.
+
+    a: (ra, k, crt, n); b: (..., k, cb, crt, n) with optional leading batch
+    dims. Returns (..., ra, cb, crt, n). Inputs must be < 2^32 (any); output
+    canonical in [0, q_c).
+    """
+    batch = b.shape[:-4]
+    ra, k = a.shape[0], a.shape[1]
+    cb = b.shape[-3]
+    out_ch = []
+    for c, q in enumerate(params.moduli):
+        ac = a[..., c, :]                       # (ra, k, n)
+        bc = b[..., c, :]                       # (..., k, cb, n)
+        ax = ac.reshape((1,) * len(batch) + (ra, k, 1, ac.shape[-1]))
+        bx = bc.reshape(batch + (1, k, cb, bc.shape[-1]))
+        t = mulmod(jnp.broadcast_to(ax, batch + (ra, k, cb, ac.shape[-1])),
+                   jnp.broadcast_to(bx, batch + (ra, k, cb, ac.shape[-1])), q)
+        out_ch.append(_sum_mod(t, axis=len(batch) + 1, q=q))
+    return jnp.stack(out_ch, axis=-2)
+
+
+def scalar_mulmod(params: Params, s, b):
+    """s: (crt, n) NTT scalar poly; b: (..., crt, n). Pointwise product."""
+    out_ch = []
+    for c, q in enumerate(params.moduli):
+        out_ch.append(mulmod(jnp.broadcast_to(s[c], b[..., c, :].shape),
+                             b[..., c, :], q))
+    return jnp.stack(out_ch, axis=-2)
+
+
+def add_mod(params: Params, a, b):
+    out_ch = []
+    for c, q in enumerate(params.moduli):
+        out_ch.append(cond_sub_q(a[..., c, :] + b[..., c, :], q))
+    return jnp.stack(out_ch, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# raw-domain ops on (hi, lo) pairs
+# ---------------------------------------------------------------------------
+
+def automorph_tables(params: Params, t: int):
+    """Host-precomputed gather permutation + negation mask for x -> x^t
+    (reference poly.rs:393-405 scatter, inverted into a gather)."""
+    n = params.poly_len
+    perm = np.zeros(n, dtype=np.int32)
+    neg = np.zeros(n, dtype=bool)
+    for i in range(n):
+        num = (i * t) // n
+        rem = (i * t) % n
+        perm[rem] = i
+        neg[rem] = (num % 2) == 1
+    return perm, neg
+
+
+def automorph_pair(params: Params, hi, lo, perm: np.ndarray, neg: np.ndarray):
+    """Apply the automorphism to raw pairs; negation is Q - x (0 -> Q,
+    matching reference invert semantics inside automorph_poly)."""
+    g_hi = jnp.take(hi, jnp.asarray(perm), axis=-1)
+    g_lo = jnp.take(lo, jnp.asarray(perm), axis=-1)
+    n_hi, n_lo = u64_const_sub(params.modulus, g_hi, g_lo)
+    m = jnp.asarray(neg)
+    return jnp.where(m, n_hi, g_hi), jnp.where(m, n_lo, g_lo)
+
+
+def gadget_digits(params: Params, hi, lo, out_rows: int, rdim: int):
+    """G^-1: decompose (..., rdim, cols, n) pairs into (..., out_rows, cols, n)
+    base-2^bits_per digits (reference gadget.rs:34-60)."""
+    num_elems = out_rows // rdim
+    bits_per = _get_bits_per(params, num_elems)
+    pieces = []
+    for k in range(num_elems):
+        bit_offs = min(k * bits_per, 64)
+        if bit_offs >= 64:
+            pieces.append(jnp.zeros_like(lo))
+        else:
+            nb = min(bits_per, 32)
+            pieces.append(u64_bits(hi, lo, bit_offs, nb))
+    # interleave: out[k*rdim + r] = piece_k[r]
+    stacked = jnp.stack(pieces, axis=-4)      # (..., num_elems, rdim, cols, n)
+    shape = stacked.shape[:-4] + (out_rows,) + stacked.shape[-2:]
+    return stacked.reshape(shape)
+
+
+def _get_bits_per(params: Params, dim: int) -> int:
+    if dim == params.modulus_log2:
+        return 1
+    return int(params.modulus_log2 / dim) + 1
+
+
+def invert_raw_pair(params: Params, hi, lo):
+    """Q - x on pairs (0 -> Q, as reference invert_poly)."""
+    return u64_const_sub(params.modulus, hi, lo)
+
+
+# ---------------------------------------------------------------------------
+# first-dimension multiply: 7-bit-limb int8 matmuls on the MXU
+# ---------------------------------------------------------------------------
+
+def _to_limbs_i8(x, axis_new: int = -1):
+    """uint32 (< 2^28) -> NUM_LIMBS int8 limbs of LIMB_BITS bits."""
+    limbs = [((x >> U32(LIMB_BITS * k)) & U32((1 << LIMB_BITS) - 1)).astype(jnp.int8)
+             for k in range(NUM_LIMBS)]
+    return limbs
+
+
+def firstdim_multiply(params: Params, db, q_arr):
+    """Encrypted-query x DB matvec (reference compute/dot_product.rs).
+
+    db:    (crt, poly_len, num_per, dim0) uint32 residues (one inst/trial)
+    q_arr: (crt, poly_len, dim0, R) uint32 (R = 2 rows x batched queries)
+    Returns (crt, poly_len, num_per, R) uint32, exact mod q_c.
+
+    Each 28-bit operand splits into four 7-bit limbs; limb products are
+    int8 matmuls accumulated in int32 on the MXU (products <= 127^2, sums
+    over dim0 <= 2^10 stay < 2^24). Limb partials recombine with Shoup
+    multiplications by (2^(7s) mod q).
+    """
+    out_ch = []
+    for c, q in enumerate(params.moduli):
+        d_limbs = _to_limbs_i8(db[c])        # each (z, i, j) int8
+        q_limbs = _to_limbs_i8(q_arr[c])     # each (z, j, r) int8
+        partials = [None] * (2 * NUM_LIMBS - 1)
+        for k in range(NUM_LIMBS):
+            for l in range(NUM_LIMBS):
+                m = jnp.einsum("zij,zjr->zir", d_limbs[k], q_limbs[l],
+                               preferred_element_type=jnp.int32)
+                s = k + l
+                partials[s] = m if partials[s] is None else partials[s] + m
+        acc = None
+        for s, p in enumerate(partials):
+            term = shoup_mulmod_lazy(p.astype(U32), (1 << (LIMB_BITS * s)) % q, q)
+            acc = term if acc is None else acc + term   # < 14q < 2^32
+        acc = reduce_u32_mod_q(acc, q)
+        out_ch.append(acc)
+    return jnp.stack(out_ch, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# coefficient expansion (reference server.rs:19-121)
+# ---------------------------------------------------------------------------
+
+class ExpansionPlan:
+    """Host-side static data for one Params: automorphism tables per round,
+    NTT'd -x^(2048-2^r) scalars, skip masks."""
+
+    def __init__(self, params: Params):
+        from .. import poly as hpoly
+
+        self.params = params
+        self.neg1 = []
+        for p in params.get_v_neg1_raw():
+            ntt = hpoly.to_ntt(params, p.reshape(1, 1, -1))
+            self.neg1.append(ntt[0, 0].astype(np.uint32))  # (crt, n)
+        self.auto = [automorph_tables(params, (params.poly_len >> r) + 1)
+                     for r in range(params.poly_len_log2)]
+
+
+def _expansion_round_update(params: Params, cts, w, t_tables, mask):
+    """One expansion butterfly applied to a batch of cts.
+
+    cts: (B, 2, 1, crt, n); w: (2, t_exp, crt, n); mask: static bool (B,) —
+    False entries keep their pre-update value.
+    """
+    perm, neg = t_tables
+    hi, lo = from_ntt(params, cts)                     # (B, 2, 1, n) pairs
+    a_hi, a_lo = automorph_pair(params, hi, lo, perm, neg)
+    t_exp = w.shape[1]
+    ginv = gadget_digits(params, a_hi[:, 0:1], a_lo[:, 0:1], t_exp, 1)
+    ginv_ntt = to_ntt_no_reduce(params, ginv)          # (B, t_exp, 1, crt, n)
+    w_g = matmul_mod(params, w, ginv_ntt)              # (B, 2, 1, crt, n)
+    auto1 = to_ntt(params, a_hi[:, 1:2], a_lo[:, 1:2])  # (B, 1, 1, crt, n)
+    res = add_mod(params, cts, w_g)
+    row1 = add_mod(params, res[:, 1:2], auto1)
+    res = jnp.concatenate([res[:, 0:1], row1], axis=1)
+    if mask.all():
+        return res
+    m = jnp.asarray(mask).reshape((-1,) + (1,) * (cts.ndim - 1))
+    return jnp.where(m, res, cts)
+
+
+def coefficient_expansion(params: Params, plan: ExpansionPlan, ct0,
+                          v_w_left, v_w_right, max_bits_to_gen_right: int):
+    """ct0: (2, 1, crt, n). Returns (2^g, 2, 1, crt, n)."""
+    g = params.g()
+    stop_round = params.stop_round() if params.db_dim_2 > 0 else 0
+    cts = ct0[None]
+    for r in range(g):
+        num_in = cts.shape[0]
+        t_tables = plan.auto[r]
+        new = scalar_mulmod(params, jnp.asarray(plan.neg1[r]), cts)
+        cts = jnp.concatenate([cts, new], axis=0)       # (2*num_in, ...)
+        num = 2 * num_in
+
+        # static skip masks (reference server.rs:33-44)
+        mask = np.ones(num, dtype=bool)
+        for i in range(num):
+            if stop_round > 0 and r > stop_round and (i % 2) == 1:
+                mask[i] = False
+            if (stop_round > 0 and r == stop_round and (i % 2) == 1
+                    and (i // 2) >= max_bits_to_gen_right):
+                mask[i] = False
+
+        if r == 0:
+            # both children use the right key (i%2==0 requires r != 0)
+            cts = _expansion_round_update(params, cts, v_w_right[0],
+                                          t_tables, mask)
+        else:
+            evens = _expansion_round_update(params, cts[0::2], v_w_left[r],
+                                            t_tables, mask[0::2])
+            if mask[1::2].any():
+                odds = _expansion_round_update(params, cts[1::2], v_w_right[r],
+                                               t_tables, mask[1::2])
+            else:
+                odds = cts[1::2]
+            cts = jnp.stack([evens, odds], axis=1).reshape(cts.shape)
+    return cts
+
+
+def regev_to_gsw(params: Params, v_inp, v_conv):
+    """v_inp: (num_gsw * t_gsw, 2, 1, crt, n) NTT Regev cts;
+    v_conv: (2, 2*t_conv, crt, n). Returns (num_gsw, 2, 2*t_gsw, crt, n)."""
+    num_gsw = params.db_dim_2
+    t_gsw = params.t_gsw
+    hi, lo = from_ntt(params, v_inp)                    # (N, 2, 1, n)
+    ginv = gadget_digits(params, hi, lo, 2 * params.t_conv, 2)
+    ginv_ntt = to_ntt(params, *_pair_id(ginv, params))  # reduce digits mod q
+    conv = matmul_mod(params, v_conv, ginv_ntt)         # (N, 2, 1, crt, n)
+    # interleave columns: ct[:, 2j] = conv_j, ct[:, 2j+1] = v_inp_j
+    both = jnp.stack([conv, v_inp], axis=1)             # (N, kind, 2, 1, crt, n)
+    both = both.reshape(num_gsw, t_gsw * 2, 2, params.crt_count,
+                        params.poly_len)                # (g, col, row, crt, n)
+    return jnp.swapaxes(both, 1, 2)                     # (g, 2, 2*t_gsw, crt, n)
+
+
+def _pair_id(digits, params: Params):
+    """Digits are plain u32 values (< 2^32) viewed as u64 pairs (0, digits)."""
+    return jnp.zeros_like(digits), digits
+
+
+# ---------------------------------------------------------------------------
+# fold + pack (reference server.rs:388-468, compute/{fold,pack}.rs)
+# ---------------------------------------------------------------------------
+
+def get_v_folding_neg(params: Params, v_folding, gadget_ntt_u32):
+    """v_folding: (db_dim_2, 2, 2*t_gsw, crt, n). gadget_ntt_u32: same-shaped
+    constant (host precomputed NTT of the gadget matrix)."""
+    hi, lo = from_ntt(params, v_folding)
+    ihi, ilo = invert_raw_pair(params, hi, lo)
+    inv_ntt = to_ntt(params, ihi, ilo)
+    return add_mod(params, jnp.asarray(gadget_ntt_u32)[None], inv_ntt)
+
+
+def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
+    """cts: (num_per, 2, 1, n) raw pairs; GSW-driven binary fold, returns
+    (2, 1, n) raw pair."""
+    further_dims = params.db_dim_2
+    num_per = cts_hi.shape[0]
+    if num_per == 1:
+        return cts_hi[0], cts_lo[0]
+    ell = 2 * params.t_gsw
+    for cur_dim in range(further_dims):
+        num_per //= 2
+        a_hi, a_lo = cts_hi[:num_per], cts_lo[:num_per]
+        b_hi, b_lo = cts_hi[num_per : 2 * num_per], cts_lo[num_per : 2 * num_per]
+        ginv_a = gadget_digits(params, a_hi, a_lo, ell, 2)
+        ginv_b = gadget_digits(params, b_hi, b_lo, ell, 2)
+        ga_ntt = to_ntt(params, *_pair_id(ginv_a, params))
+        gb_ntt = to_ntt(params, *_pair_id(ginv_b, params))
+        key = further_dims - 1 - cur_dim
+        prod = matmul_mod(params, v_folding_neg[key], ga_ntt)
+        summ = matmul_mod(params, v_folding[key], gb_ntt)
+        cts_hi, cts_lo = from_ntt(params, add_mod(params, summ, prod))
+    return cts_hi[0], cts_lo[0]
+
+
+def pack(params: Params, v_ct_hi, v_ct_lo, v_packing):
+    """v_ct: (n*n, 2, 1, poly_len) raw pairs; v_packing: list of n NTT
+    (n+1, t_conv) key matrices (version 0) or [w, w_shift] (version 1).
+    Returns packed NTT (n+1, n, crt, poly_len)."""
+    n = params.n
+    cols = []
+    for c in range(n):
+        v_int = jnp.zeros((n + 1, 1, params.crt_count, params.poly_len),
+                          dtype=U32)
+        for r in range(n):
+            if params.version == 0:
+                key = v_packing[r]
+            else:
+                key = v_packing[0] if r == 0 else v_packing[1]
+            idx = r * n + c
+            ct1_hi, ct1_lo = v_ct_hi[idx, 0:1], v_ct_lo[idx, 0:1]
+            ct2 = to_ntt(params, v_ct_hi[idx, 1:2], v_ct_lo[idx, 1:2])
+            ginv = gadget_digits(params, ct1_hi, ct1_lo, params.t_conv, 1)
+            ginv_ntt = to_ntt(params, *_pair_id(ginv, params))
+            prod = matmul_mod(params, key, ginv_ntt)    # (n+1, 1, crt, n)
+            row = add_mod(params, v_int[1 + r : 2 + r], ct2)
+            v_int = jnp.concatenate(
+                [v_int[: 1 + r], row, v_int[2 + r :]], axis=0)
+            v_int = add_mod(params, v_int, prod)
+        cols.append(v_int)
+    return jnp.concatenate(cols, axis=1)
