@@ -48,16 +48,18 @@ def main():
 
     @jax.jit
     def scan(db, q_arr):
-        return jax.vmap(lambda d: sj.firstdim_multiply(params, d, q_arr))(db)
+        out = jax.vmap(lambda d: sj.firstdim_multiply(params, d, q_arr))(db)
+        # reduce to a scalar so each timed iteration fetches one word —
+        # block_until_ready through the axon tunnel does not await remote
+        # completion, so the fetch is the only honest fence.
+        return out.sum(dtype=jnp.uint32)
 
-    out = scan(db_dev, q_dev)
-    out.block_until_ready()  # compile
+    int(scan(db_dev, q_dev))  # compile + warm
 
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = scan(db_dev, q_dev)
-    out.block_until_ready()
+        int(scan(db_dev, q_dev))
     dt = (time.perf_counter() - t0) / iters
 
     # DB bytes scanned per query pass: the packed-representation size the
