@@ -1,0 +1,120 @@
+"""KV plane + HTTP service + client SDK tests.
+
+- key->row golden values from the reference (key_value.rs:92-98)
+- row payload splice/update/delete round trips (write.rs semantics)
+- hermetic e2e: real HTTP server (sdk_tpu.server.http) + real client SDK
+  (sdk_tpu.clients) over localhost — the reference's e2e-tests/main.ts
+  pattern, with deterministic key->value hashing like
+  python/tests/test_service.py.
+"""
+
+import hashlib
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+from sdk_tpu.kv.key_value import extract_result, row_from_key
+from sdk_tpu.kv.write import compress_row, unwrap_kv_pairs, update_row
+from sdk_tpu.params import get_fast_expansion_testing_params, params_to_json_obj
+
+
+def test_row_from_key_goldens():
+    # reference config: nu_1=9, nu_2=5 -> 2^14 items (key_value.rs:71-98)
+    assert row_from_key(1 << 14, "CA") == 4825
+    assert row_from_key(1 << 14, "OR") == 8359
+
+
+def test_update_row_insert_replace_delete():
+    row = bytearray()
+    update_row(row, "alpha", b"first")
+    update_row(row, "beta", b"second")
+    assert extract_result("alpha", bytes(row)) == b"first"
+    assert extract_result("beta", bytes(row)) == b"second"
+
+    update_row(row, "alpha", b"replaced-longer-value")
+    assert extract_result("alpha", bytes(row)) == b"replaced-longer-value"
+    assert extract_result("beta", bytes(row)) == b"second"
+
+    update_row(row, "alpha", b"")      # delete
+    with pytest.raises(KeyError):
+        extract_result("alpha", bytes(row))
+    assert extract_result("beta", bytes(row)) == b"second"
+
+
+def test_unwrap_kv_pairs():
+    import base64
+
+    body = json.dumps({"k1": base64.b64encode(b"v1").decode(), "k2": None}).encode()
+    pairs = dict(unwrap_kv_pairs(body))
+    assert pairs["k1"] == b"v1"
+    assert pairs["k2"] == b""
+
+
+def key_to_gold_value(key: str, size: int = 80) -> bytes:
+    """Deterministic key->value hashing (test_service.py:11-18 pattern)."""
+    out = bytearray()
+    cur = key.encode()
+    while len(out) < size:
+        cur = hashlib.sha256(cur).digest()
+        out.extend(cur)
+    return bytes(out[:size])
+
+
+@pytest.fixture(scope="module")
+def live_server():
+    from sdk_tpu.server.http import serve
+    from sdk_tpu.server.kv_server import SpiralKvServer
+
+    params = get_fast_expansion_testing_params()
+    srv = SpiralKvServer(params, json.dumps(params_to_json_obj(params)))
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    httpd = serve(srv, port, block=False)
+    yield port
+    httpd.shutdown()
+
+
+def test_http_e2e_write_read(live_server):
+    from sdk_tpu.clients.bucket_service import connect_local
+
+    port = live_server
+    bucket = connect_local(port)
+    keys = ["CA", "OR", "hello-world"]
+    bucket.write({k: key_to_gold_value(k) for k in keys})
+
+    got = bucket.private_read(["CA", "hello-world"])
+    assert got[0] == key_to_gold_value("CA")
+    assert got[1] == key_to_gold_value("hello-world")
+
+    # absent key -> None
+    assert bucket.private_read(["missing-key"]) == [None]
+
+
+def test_http_e2e_delete_and_update(live_server):
+    from sdk_tpu.clients.bucket_service import connect_local
+
+    port = live_server
+    bucket = connect_local(port)
+    bucket.write({"temp-key": b"ephemeral", "keep-key": b"stays"})
+    assert bucket.private_read(["temp-key"]) == [b"ephemeral"]
+
+    bucket.delete_key("temp-key")
+    assert bucket.private_read(["temp-key"]) == [None]
+    assert bucket.private_read(["keep-key"]) == [b"stays"]
+
+    bucket.write({"keep-key": b"updated"})
+    assert bucket.private_read(["keep-key"]) == [b"updated"]
+
+
+def test_http_meta_version_increments(live_server):
+    from sdk_tpu.clients.api import API
+
+    api = API("", f"http://localhost:{live_server}")
+    v0 = api.meta()["global_version"]
+    api.write("", {"vkey": "dGVzdA=="})
+    v1 = api.meta()["global_version"]
+    assert v1 == v0 + 1
