@@ -375,27 +375,40 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
 
 def pack(params: Params, v_ct_hi, v_ct_lo, v_packing):
     """v_ct: (n*n, 2, 1, poly_len) raw pairs; v_packing: list of n NTT
-    (n+1, t_conv) key matrices (version 0) or [w, w_shift] (version 1).
-    Returns packed NTT (n+1, n, crt, poly_len)."""
+    (n+1, t_conv) key matrices (version 0) or [w_key, w_shift] (version 1,
+    pack.rs:46-100). Returns packed NTT (n+1, n, crt, poly_len)."""
     n = params.n
     cols = []
     for c in range(n):
         v_int = jnp.zeros((n + 1, 1, params.crt_count, params.poly_len),
                           dtype=U32)
         for r in range(n):
-            if params.version == 0:
-                key = v_packing[r]
-            else:
-                key = v_packing[0] if r == 0 else v_packing[1]
             idx = r * n + c
             ct1_hi, ct1_lo = v_ct_hi[idx, 0:1], v_ct_lo[idx, 0:1]
             ct2 = to_ntt(params, v_ct_hi[idx, 1:2], v_ct_lo[idx, 1:2])
             ginv = gadget_digits(params, ct1_hi, ct1_lo, params.t_conv, 1)
             ginv_ntt = to_ntt(params, *_pair_id(ginv, params))
-            prod = matmul_mod(params, key, ginv_ntt)    # (n+1, 1, crt, n)
-            row = add_mod(params, v_int[1 + r : 2 + r], ct2)
-            v_int = jnp.concatenate(
-                [v_int[: 1 + r], row, v_int[2 + r :]], axis=0)
-            v_int = add_mod(params, v_int, prod)
+            if params.version == 0:
+                prod = matmul_mod(params, v_packing[r], ginv_ntt)
+                row = add_mod(params, v_int[1 + r : 2 + r], ct2)
+                v_int = jnp.concatenate(
+                    [v_int[: 1 + r], row, v_int[2 + r :]], axis=0)
+                v_int = add_mod(params, v_int, prod)
+            else:
+                w_key, w_shift = v_packing[0], v_packing[1]
+                prod = matmul_mod(params, w_key, ginv_ntt)   # (n+1, 1, crt, z)
+                row1 = add_mod(params, prod[1:2], ct2)
+                prod = jnp.concatenate([prod[0:1], row1, prod[2:]], axis=0)
+                for _ in range(r):
+                    p1_hi, p1_lo = from_ntt(params, prod[0:1])
+                    ginv2 = gadget_digits(params, p1_hi, p1_lo, params.t_conv, 1)
+                    ginv2_ntt = to_ntt(params, *_pair_id(ginv2, params))
+                    part1 = matmul_mod(params, w_shift, ginv2_ntt)
+                    rest = prod[1:]
+                    rolled = jnp.concatenate([rest[-1:], rest[:-1]], axis=0)
+                    part2 = jnp.concatenate(
+                        [jnp.zeros_like(prod[0:1]), rolled], axis=0)
+                    prod = add_mod(params, part1, part2)
+                v_int = add_mod(params, v_int, prod)
         cols.append(v_int)
     return jnp.concatenate(cols, axis=1)

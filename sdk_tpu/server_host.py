@@ -202,26 +202,28 @@ def pack(params: Params, v_ct: list[np.ndarray], v_w: list[np.ndarray]) -> np.nd
 
 
 def pack_v1(params: Params, v_ct: list[np.ndarray], v_w: list[np.ndarray]) -> np.ndarray:
-    """pack_v1 (lib/server/src/compute/pack.rs:46-100): 2 keys — w and
-    w_shift — with row rotation between columns."""
+    """pack_v1 (lib/server/src/compute/pack.rs:46-100): 2 keys — w_key and
+    w_shift. Each scalar ct keyswitches into row 1, then is rotated down to
+    its row r by r applications of the shift key."""
     assert len(v_w) == 2
-    w = v_w[0]
-    w_shift = v_w[1]
+    w_key, w_shift = v_w[0], v_w[1]
     result = poly.ntt_zero(params, params.n + 1, params.n)
     for c in range(params.n):
         v_int = poly.ntt_zero(params, params.n + 1, 1)
         for r in range(params.n):
-            key = w if r == 0 else w_shift
             ct = v_ct[r * params.n + c]
-            ct_1 = ct[0:1]
             ct_2_ntt = poly.to_ntt(params, ct[1:2])
-            ginv = poly.gadget_invert(params, params.t_conv, ct_1)
-            ginv_ntt = poly.to_ntt(params, ginv)
-            prod = poly.multiply(params, key, ginv_ntt)
-            v_int[1 + r] = v_int[1 + r] + ct_2_ntt[0]
-            v_int = v_int + prod
-            for cc in range(params.crt_count):
-                v_int[:, :, cc, :] %= U64(params.moduli[cc])
+            ginv = poly.gadget_invert(params, params.t_conv, ct[0:1])
+            prod = poly.multiply(params, w_key, poly.to_ntt(params, ginv))
+            prod[1:2] = poly.add(params, prod[1:2], ct_2_ntt)
+            for _ in range(r):
+                prod_ct_1_raw = poly.from_ntt(params, prod[0:1])
+                prod_rest = prod[1:]
+                ginv2 = poly.gadget_invert(params, params.t_conv, prod_ct_1_raw)
+                part1 = poly.multiply(params, w_shift, poly.to_ntt(params, ginv2))
+                part2 = poly.pad_top(params, poly.shift_rows_by_one(prod_rest), 1)
+                prod = poly.add(params, part1, part2)
+            v_int = poly.add(params, v_int, prod)
         result[:, c : c + 1] = v_int
     return result
 
