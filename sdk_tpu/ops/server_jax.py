@@ -172,6 +172,64 @@ class SpiralServerJax:
         packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
         return encode_response(params, packed)
 
+    # -- batched serving: amortize one DB pass over many queries --
+
+    def _scan_fold_batched_impl(self, db, q_arrs, v_foldings):
+        """q_arrs: (NQ, crt, z, dim0, 2); v_foldings: (NQ, dim2, 2, 2t, crt, z).
+        One DB scan with 2*NQ result columns fills the MXU (the reference's
+        query-batching pattern, SURVEY 2.8); folds run per query."""
+        params = self.params
+        nq = q_arrs.shape[0]
+        # (crt, z, dim0, 2*NQ)
+        q_wide = jnp.concatenate([q_arrs[i] for i in range(nq)], axis=-1)
+
+        def one_trial(db_slice):
+            inter = sj.firstdim_multiply(params, db_slice, q_wide)
+            outs_h, outs_l = [], []
+            for i in range(nq):
+                v_folding = v_foldings[i]
+                v_folding_neg = sj.get_v_folding_neg(params, v_folding,
+                                                     self.gadget_ntt_u32)
+                part = inter[..., 2 * i : 2 * i + 2]
+                cts = jnp.transpose(part, (2, 3, 0, 1))[:, :, None, :, :]
+                hi, lo = sj.from_ntt(params, cts)
+                h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
+                                           v_folding_neg)
+                outs_h.append(h)
+                outs_l.append(l)
+            return jnp.stack(outs_h), jnp.stack(outs_l)
+
+        it = db.reshape((-1,) + db.shape[2:])
+        hi, lo = jax.vmap(one_trial)(it)            # (T, NQ, 2, 1, z)
+        hi = jnp.swapaxes(hi, 0, 1)
+        lo = jnp.swapaxes(lo, 0, 1)                 # (NQ, T, 2, 1, z)
+        shape = (nq,) + db.shape[:2] + hi.shape[2:]
+        return hi.reshape(shape), lo.reshape(shape)
+
+    def process_queries_batched(self, requests: list) -> list[bytes]:
+        """requests: list of (pp_dev_or_pp, query). One fused DB scan."""
+        params = self.params
+        if len(requests) == 1:
+            pp, query = requests[0]
+            return [self.process_query(pp, query)]
+        q_arrs, v_folds, pps = [], [], []
+        for pp, query in requests:
+            pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
+            q_arr, v_folding = self.query_to_device(pp_dev, query)
+            q_arrs.append(q_arr)
+            v_folds.append(v_folding)
+            pps.append(pp_dev)
+        if not hasattr(self, "_jit_batched"):
+            self._jit_batched = jax.jit(self._scan_fold_batched_impl)
+        f_hi, f_lo = self._jit_batched(self.db, jnp.stack(q_arrs),
+                                       jnp.stack(v_folds))
+        out = []
+        for i, pp_dev in enumerate(pps):
+            p_hi, p_lo = self._jit_pack(f_hi[i], f_lo[i], pp_dev["v_packing"])
+            packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
+            out.append(encode_response(params, packed))
+        return out
+
 
 def encode_response(params: Params, packed: np.ndarray) -> bytes:
     """packed: (instances, n+1, n, poly_len) raw u64. Rescale + bit-pack

@@ -110,33 +110,40 @@ class SpiralKvServer:
     def has_uuid(self, uid: str) -> bool:
         return uid in self.pub_params
 
-    def private_read_one(self, request_bytes: bytes) -> bytes:
+    def _parse_request(self, request_bytes: bytes):
         params = self.params
+        if params.expand_queries:
+            assert len(request_bytes) == UUID_V4_STR_BYTES + params.query_bytes()
+            uid = request_bytes[:UUID_V4_STR_BYTES].decode()
+            if uid not in self.pub_params:
+                raise KeyError(uid)
+            pp_dev = self.pub_params[uid]
+            query = Query.deserialize(params, request_bytes[UUID_V4_STR_BYTES:])
+        else:
+            assert len(request_bytes) == params.setup_bytes() + params.query_bytes()
+            pp = PublicParameters.deserialize(
+                params, request_bytes[: params.setup_bytes()])
+            pp_dev = pp_to_device(params, pp)
+            query = Query.deserialize(params, request_bytes[params.setup_bytes():])
+        return pp_dev, query
+
+    def private_read_one(self, request_bytes: bytes) -> bytes:
         with self.lock:
             self._flush()
-            if params.expand_queries:
-                assert len(request_bytes) == UUID_V4_STR_BYTES + params.query_bytes()
-                uid = request_bytes[:UUID_V4_STR_BYTES].decode()
-                if uid not in self.pub_params:
-                    raise KeyError(uid)
-                pp_dev = self.pub_params[uid]
-                query = Query.deserialize(params, request_bytes[UUID_V4_STR_BYTES:])
-            else:
-                assert len(request_bytes) == params.setup_bytes() + params.query_bytes()
-                pp = PublicParameters.deserialize(
-                    params, request_bytes[: params.setup_bytes()])
-                pp_dev = pp_to_device(params, pp)
-                query = Query.deserialize(params, request_bytes[params.setup_bytes():])
+            pp_dev, query = self._parse_request(request_bytes)
             return self.engine.process_query(pp_dev, query)
 
     def private_read(self, body: bytes) -> bytes:
         """JSON list of base64 queries -> JSON list of base64 responses
-        (bin/server.rs:143-163)."""
+        (bin/server.rs:143-163). Multi-query requests share one DB scan
+        (batched MXU columns)."""
         query_strs = json.loads(body)
-        out = []
-        for qs in query_strs:
-            result = self.private_read_one(base64.b64decode(qs))
-            out.append(base64.b64encode(result).decode())
+        with self.lock:
+            self._flush()
+            reqs = [self._parse_request(base64.b64decode(qs))
+                    for qs in query_strs]
+            results = self.engine.process_queries_batched(reqs)
+        out = [base64.b64encode(r).decode() for r in results]
         return json.dumps(out).encode()
 
     def meta(self) -> dict:

@@ -1,0 +1,64 @@
+"""Batched query serving (one DB scan, many queries) and the Pallas scan
+kernel (interpret mode on CPU) vs the XLA path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sdk_tpu import poly, server_host
+from sdk_tpu.arith import log2_ceil
+from sdk_tpu.client import Client, PublicParameters, Query
+from sdk_tpu.ops import spiral_jax as sj
+from sdk_tpu.ops.dbscan_pallas import firstdim_scan_pallas
+from sdk_tpu.ops.server_jax import SpiralServerJax
+from sdk_tpu.params import get_fast_expansion_testing_params
+from sdk_tpu.rng import ChaCha20Rng
+
+RNG = np.random.default_rng(17)
+
+
+def test_pallas_scan_matches_xla():
+    params = get_fast_expansion_testing_params()
+    dim0, num_per, R = 64, 8, 4
+    db = np.empty((2, params.poly_len, num_per, dim0), dtype=np.uint32)
+    qa = np.empty((2, params.poly_len, dim0, R), dtype=np.uint32)
+    for c, q in enumerate(params.moduli):
+        db[c] = RNG.integers(0, q, db.shape[1:], dtype=np.uint64)
+        qa[c] = RNG.integers(0, q, qa.shape[1:], dtype=np.uint64)
+    want = np.asarray(jax.jit(
+        lambda d, q: sj.firstdim_multiply(params, d, q))(
+            jnp.asarray(db), jnp.asarray(qa)))
+    got = np.asarray(firstdim_scan_pallas(params, jnp.asarray(db),
+                                          jnp.asarray(qa)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batched_queries_decode():
+    params = get_fast_expansion_testing_params()
+    clients, pps, queries, targets = [], [], [], [5, 99, 200]
+    for i, t in enumerate(targets):
+        c = Client(params)
+        pp = c.generate_keys_from_seed(
+            bytes([0x40 + i]) * 32, noise_rng=ChaCha20Rng(bytes([0x50 + i]) * 32),
+            pp_seed=bytes([0x60 + i]) * 32)
+        q = c.generate_query(t, noise_rng=ChaCha20Rng(bytes([0x70 + i]) * 32),
+                             query_seed=bytes([0x80 + i]) * 32)
+        clients.append(c)
+        pps.append(PublicParameters.deserialize(params, pp.serialize(params)))
+        queries.append(Query.deserialize(params, q.serialize(params)))
+
+    # one DB; each query targets its own item
+    items_dbs = [server_host.generate_random_db_and_get_item(params, t, seed=3)
+                 for t in targets]
+    db = items_dbs[0][1]
+    srv = SpiralServerJax(params)
+    srv.set_db_host_tensor(db)
+
+    responses = srv.process_queries_batched(list(zip(pps, queries)))
+    p_bits = log2_ceil(params.pt_modulus)
+    for i, t in enumerate(targets):
+        got = clients[i].decode_response(responses[i])
+        want = poly.raw_to_bytes(params, items_dbs[i][0], p_bits,
+                                 params.modp_words_per_chunk())
+        assert got == want, f"query {i} (target {t})"
