@@ -32,11 +32,67 @@ class Bucket:
         self._secret_seed = secret_seed or seedmod.get_random_seed()
         self._public_uuid: Optional[str] = None
         self._metadata = api.meta(name)
-        self.params: Params = params_from_json_obj(self._metadata["pir_scheme"])
+        scheme_obj = self._metadata["pir_scheme"]
+        # scheme switch from /meta (reference bucket.ts:246-266)
+        if scheme_obj.get("scheme") == "doublepir":
+            self.scheme = "doublepir"
+            self._init_doublepir(scheme_obj)
+            return
+        self.scheme = "spiral"
+        self.params: Params = params_from_json_obj(scheme_obj)
         self._client = Client(self.params)
         self._client.generate_secret_keys_from_seed(
             seedmod.seed_from_string(self._secret_seed))
         self._pp_bytes: Optional[bytes] = None
+
+    # --- DoublePIR (checklist) scheme ---
+
+    def _init_doublepir(self, scheme_obj: dict) -> None:
+        from ..doublepir.client import DoublePirClient
+        from ..doublepir.database import DbInfo
+        from ..doublepir.params import Params as DpParams
+
+        self._dp_params = DpParams.from_string(scheme_obj["params"])
+        self._dp_info = DbInfo.from_string(scheme_obj["dbinfo"])
+        self._bloom_k = int(scheme_obj.get("bloom_k", 8))
+        self._bloom_log2m = int(scheme_obj["bloom_log2m"])
+        self._dp = DoublePirClient(self._dp_params, self._dp_info)
+        self._dp_hint_loaded = False
+
+    def _ensure_scheme(self, scheme: str):
+        if self.scheme != scheme:
+            raise RuntimeError(f"Cannot perform this action on a "
+                               f"{self.scheme} bucket")
+
+    def _load_dp_hint(self) -> None:
+        if not self._dp_hint_loaded:
+            r = self._api._get(self._api._url(self.name, "/hint"))
+            self._dp.load_hint(base64.b64decode(r["hint"]))
+            self._dp_hint_loaded = True
+
+    def check_inclusion(self, key: str) -> bool:
+        """Private membership check via batched DoublePIR bloom-bit reads
+        (reference bucket.ts:202-232, 466-470): >= 5 of k bits set."""
+        from .bloom import bloom_hash
+        from ..doublepir.serializer import serialize_states
+
+        self._ensure_scheme("doublepir")
+        self._load_dp_hint()
+        indices = [bloom_hash(key, i, self._bloom_log2m)
+                   for i in range(self._bloom_k)]
+        queries, client_datas, plan = self._dp.generate_query_batch(indices)
+        body = serialize_states(queries)
+        raw = self._api.private_read(self.name, [body])[0]
+        count = 0
+        for b, entry in enumerate(plan):
+            if entry is None:
+                continue
+            idx = entry[0]
+            bit = self._dp.decode_response(raw, idx, b, client_datas[b])
+            if bit == 0:
+                return False
+            count += 1
+        return count >= 5
 
     # --- scheme plumbing ---
 

@@ -164,13 +164,20 @@ class SpiralServerJax:
         return q_arr, v_folding
 
     def process_query(self, pp: PublicParameters | dict, query: Query) -> bytes:
+        from ..telemetry import GLOBAL_TIMERS as T
+
         params = self.params
         pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
-        q_arr, v_folding = self.query_to_device(pp_dev, query)
-        f_hi, f_lo = self._jit_scan_fold(self.db, q_arr, v_folding)
-        p_hi, p_lo = self._jit_pack(f_hi, f_lo, pp_dev["v_packing"])
-        packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
-        return encode_response(params, packed)
+        with T.stage("expand"):
+            q_arr, v_folding = self.query_to_device(pp_dev, query)
+        with T.stage("scan_fold"):
+            f_hi, f_lo = self._jit_scan_fold(self.db, q_arr, v_folding)
+            f_hi.block_until_ready()
+        with T.stage("pack"):
+            p_hi, p_lo = self._jit_pack(f_hi, f_lo, pp_dev["v_packing"])
+            packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
+        with T.stage("encode"):
+            return encode_response(params, packed)
 
     # -- batched serving: amortize one DB pass over many queries --
 

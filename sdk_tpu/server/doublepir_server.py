@@ -1,0 +1,161 @@
+"""DoublePIR checklist service: serve private membership checks over a
+bloom-filter bit DB (the reference's password-breach "checklist" deployment;
+js/bridge/src/doublepir_lib.rs + bucket.ts:202-232).
+
+The DB is a bloom filter of 2^log2m bits built from the key set; clients
+derive k=8 bloom indices per key (SHA-1), batch one DoublePIR query per
+index, and declare membership when >= 5 bits decode to 1.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+
+import numpy as np
+
+from ..clients.bloom import bloom_hash
+from ..doublepir import scheme
+from ..doublepir.database import Db, DbInfo
+from ..doublepir.params import LOGQ, SEC_PARAM, Params, pick_params
+from ..doublepir.serializer import deserialize_states, serialize_state
+
+BLOOM_K = 8
+
+
+class DoublePirKvServer:
+    """Checklist bucket: build a bloom-bit DB from keys, answer batched
+    DoublePIR queries."""
+
+    def __init__(self, log2m: int, params: Params | None = None,
+                 matmul_u32_fn=None):
+        self.log2m = log2m
+        self.num_entries = 1 << log2m
+        self.params = params or pick_params(self.num_entries, 1, SEC_PARAM,
+                                            LOGQ, lower_bound_m=1)
+        self.bits = np.zeros(self.num_entries, dtype=np.uint8)
+        self.keys: set[str] = set()
+        self.version = 0
+        self.lock = threading.RLock()
+        self._matmul = matmul_u32_fn
+        self.db: Db | None = None
+        self.server_state: list = []
+        self.hint: list = []
+        self.shared_state: list | None = None
+        self._dirty = True
+
+    def add_keys(self, keys: list[str]) -> None:
+        with self.lock:
+            for k in keys:
+                self.keys.add(k)
+                for i in range(BLOOM_K):
+                    self.bits[bloom_hash(k, i, self.log2m)] = 1
+            self.version += 1
+            self._dirty = True
+
+    def _rebuild(self) -> None:
+        if not self._dirty:
+            return
+        self.db = Db.from_entries(self.num_entries, 1, self.params,
+                                  self.bits.tolist())
+        if self.shared_state is None:
+            self.shared_state = scheme.init(self.db.info, self.params)
+        self.server_state, self.hint = scheme.setup(
+            self.db, self.shared_state, self.params, self._matmul)
+        self._dirty = False
+
+    def get_hint(self) -> bytes:
+        with self.lock:
+            self._rebuild()
+            return serialize_state(self.hint)
+
+    def answer(self, query_bytes: bytes) -> bytes:
+        with self.lock:
+            self._rebuild()
+            queries = deserialize_states(query_bytes)
+            resp = scheme.answer(self.db, queries, self.server_state,
+                                 self.params)
+            return serialize_state(resp)
+
+    def meta(self) -> dict:
+        with self.lock:
+            self._rebuild()
+            return {
+                "id": 0,
+                "name": "",
+                "owner_id": 0,
+                "open_access": True,
+                "pir_scheme": {
+                    "scheme": "doublepir",
+                    "params": self.params.to_string(),
+                    "dbinfo": self.db.info.to_string(),
+                    "num_entries": str(self.num_entries),
+                    "bloom_k": BLOOM_K,
+                    "bloom_log2m": self.log2m,
+                },
+                "global_version": self.version,
+            }
+
+
+def make_doublepir_handler(srv: DoublePirKvServer):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):
+            pass
+
+        def _send(self, code, body, ctype="application/json"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            path = self.path.rstrip("/") or "/"
+            if path.endswith("/meta"):
+                self._send(200, json.dumps(srv.meta()).encode())
+            elif path.endswith("/hint"):
+                self._send(200, json.dumps(
+                    {"hint": base64.b64encode(srv.get_hint()).decode()}).encode())
+            else:
+                self._send(404, b'{"error": "not found"}')
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            path = self.path.rstrip("/")
+            try:
+                if path.endswith("/write"):
+                    keys = json.loads(body)
+                    srv.add_keys(list(keys))
+                    self._send(200, b'{"status": "done updating"}')
+                elif path.endswith("/private-read"):
+                    query_strs = json.loads(body)
+                    out = [base64.b64encode(
+                        srv.answer(base64.b64decode(q))).decode()
+                        for q in query_strs]
+                    self._send(200, json.dumps(out).encode())
+                else:
+                    self._send(404, b'{"error": "not found"}')
+            except Exception as e:  # noqa: BLE001
+                self._send(500, json.dumps({"error": str(e)}).encode())
+
+    return Handler
+
+
+def serve_doublepir(srv: DoublePirKvServer, port: int, block: bool = True):
+    import threading as _t
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("localhost", port),
+                                make_doublepir_handler(srv))
+    if block:
+        print(f"Listening on {port}", flush=True)
+        httpd.serve_forever()
+    else:
+        _t.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd

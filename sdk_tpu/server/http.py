@@ -52,10 +52,25 @@ def make_handler(srv: SpiralKvServer):
                            "text/plain")
             elif path == "/meta" or path.endswith("/meta"):
                 self._send(200, json.dumps(srv.meta()).encode())
+            elif path.endswith("/metrics"):
+                self._send(200, json.dumps(srv.metrics()).encode())
             elif path.endswith("/check"):
                 # /<uuid>/check — does the server hold this client's params
                 uid = path.split("/")[1]
                 self._send(200, json.dumps({"found": srv.has_uuid(uid)}).encode())
+            elif path.endswith("/bloom"):
+                import base64 as _b64
+                try:
+                    self._send(200, json.dumps(
+                        {"bloom": _b64.b64encode(srv.bloom_bytes()).decode()}
+                    ).encode())
+                except KeyError:
+                    self._send(404, b'{"error": "no bloom filter"}')
+            elif path.endswith("/list-keys"):
+                try:
+                    self._send(200, json.dumps(srv.list_keys()).encode())
+                except KeyError:
+                    self._send(404, b'{"error": "key storage not enabled"}')
             else:
                 self._send(404, b'{"error": "not found"}')
 
@@ -76,6 +91,9 @@ def make_handler(srv: SpiralKvServer):
                          "largest_update": largest}).encode())
                 elif path.endswith("/private-read"):
                     self._send(200, srv.private_read(body))
+                elif path.endswith("/clear"):
+                    srv.clear()
+                    self._send(200, b'{"status": "cleared"}')
                 else:
                     self._send(404, b'{"error": "not found"}')
             except KeyError:

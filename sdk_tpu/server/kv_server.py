@@ -27,7 +27,8 @@ UUID_V4_STR_BYTES = 36
 class SpiralKvServer:
     """One bucket: Spiral params + rows + encrypted index on device."""
 
-    def __init__(self, params: Params, params_json: str | None = None):
+    def __init__(self, params: Params, params_json: str | None = None,
+                 key_storage_policy: str = "bloom"):
         import jax.numpy as jnp
 
         self.params = params
@@ -36,6 +37,17 @@ class SpiralKvServer:
         self.pub_params: dict[str, dict] = {}
         self.version = 0
         self.lock = threading.RLock()
+        # key storage policy: 'none' | 'bloom' | 'full' (reference
+        # bucket_service.ts keyStoragePolicy); bloom enables
+        # private_key_intersect's prefilter
+        self.key_storage_policy = key_storage_policy
+        self._key_bloom = None
+        self._stored_keys: set[str] = set()
+        if key_storage_policy in ("bloom", "full"):
+            from ..clients.bloom import BloomFilter
+
+            bits = params.db_dim_1 + params.db_dim_2 + 6
+            self._key_bloom = BloomFilter.empty(8, bits)
 
         self.engine = SpiralServerJax(params)
         dim0 = 1 << params.db_dim_1
@@ -57,6 +69,12 @@ class SpiralKvServer:
             for row_id in sorted(by_row):
                 for k, v in by_row[row_id]:
                     update_row(self.rows[row_id], k, v)
+                    if v and self._key_bloom is not None:
+                        self._key_bloom.insert(k)
+                    if v and self.key_storage_policy == "full":
+                        self._stored_keys.add(k)
+                    elif not v:
+                        self._stored_keys.discard(k)
                 compressed = compress_row(self.rows[row_id])
                 self.update_item_raw(row_id, compressed)
             self.version += 1
@@ -146,6 +164,34 @@ class SpiralKvServer:
         out = [base64.b64encode(r).decode() for r in results]
         return json.dumps(out).encode()
 
+    def bloom_bytes(self) -> bytes:
+        if self._key_bloom is None:
+            raise KeyError("bloom")
+        return self._key_bloom.to_bytes()
+
+    def list_keys(self) -> list[str]:
+        if self.key_storage_policy != "full":
+            raise KeyError("list-keys")
+        return sorted(self._stored_keys)
+
+    def clear(self) -> None:
+        """Delete all rows but keep metadata/public params
+        (reference clear_entire_bucket semantics)."""
+        import jax.numpy as jnp
+
+        with self.lock:
+            for r in self.rows:
+                r.clear()
+            self.engine.db = jnp.zeros_like(self.engine.db)
+            self._updates.pending.clear()
+            self._stored_keys.clear()
+            if self._key_bloom is not None:
+                from ..clients.bloom import BloomFilter
+
+                self._key_bloom = BloomFilter.empty(
+                    self._key_bloom.k, self._key_bloom.bits)
+            self.version += 1
+
     def meta(self) -> dict:
         return {
             "id": 0,
@@ -155,3 +201,57 @@ class SpiralKvServer:
             "pir_scheme": json.loads(self.params_json),
             "global_version": self.version,
         }
+
+    def metrics(self) -> dict:
+        from ..telemetry import GLOBAL_TIMERS
+
+        return {"stages": GLOBAL_TIMERS.snapshot(), "version": self.version,
+                "num_rows_populated": sum(1 for r in self.rows if r)}
+
+    # --- checkpoint/restore of the preprocessed encrypted index ---
+    # (reference: load_preprocessed_db_from_file, db/loading.rs:263-276, and
+    #  DoublePIR's file persistence pattern)
+
+    def save_to_dir(self, path: str) -> None:
+        import os
+        import pickle
+
+        os.makedirs(path, exist_ok=True)
+        with self.lock:
+            self._flush()
+            np.save(os.path.join(path, "db_tensor.npy"),
+                    np.asarray(self.engine.db))
+            with open(os.path.join(path, "rows.pkl"), "wb") as f:
+                pickle.dump([bytes(r) for r in self.rows], f)
+            state = {"version": self.version,
+                     "params_json": self.params_json,
+                     "key_storage_policy": self.key_storage_policy,
+                     "stored_keys": sorted(self._stored_keys)}
+            if self._key_bloom is not None:
+                state["key_bloom"] = self._key_bloom.to_bytes().hex()
+            with open(os.path.join(path, "state.json"), "w") as f:
+                json.dump(state, f)
+
+    def restore_from_dir(self, path: str) -> None:
+        import os
+        import pickle
+
+        import jax.numpy as jnp
+
+        with self.lock:
+            db = np.load(os.path.join(path, "db_tensor.npy"))
+            assert db.shape == self.engine.db.shape, (
+                db.shape, self.engine.db.shape)
+            self.engine.db = jnp.asarray(db)
+            with open(os.path.join(path, "rows.pkl"), "rb") as f:
+                self.rows = [bytearray(r) for r in pickle.load(f)]
+            with open(os.path.join(path, "state.json")) as f:
+                state = json.load(f)
+            self.version = state["version"]
+            self._stored_keys = set(state.get("stored_keys", []))
+            if "key_bloom" in state and self._key_bloom is not None:
+                from ..clients.bloom import BloomFilter
+
+                self._key_bloom = BloomFilter.from_bytes(
+                    bytes.fromhex(state["key_bloom"]))
+            self._updates.pending.clear()
