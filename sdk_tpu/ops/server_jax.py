@@ -58,16 +58,29 @@ def pp_to_device(params: Params, pp: PublicParameters) -> dict:
 
 
 class SpiralServerJax:
-    """Device-resident Spiral server for one parameter set."""
+    """Device-resident Spiral server for one parameter set.
 
-    def __init__(self, params: Params):
+    Pass a jax.sharding.Mesh (axes "dp", "db") to serve from a sharded DB:
+    first-dim rows split over the "db" axis with exact mod-q psum
+    partial-response reduction, instances*trials over "dp"
+    (sdk_tpu.ops.shard)."""
+
+    def __init__(self, params: Params, mesh=None):
         self.params = params
         self.plan = sj.ExpansionPlan(params) if params.expand_queries else None
         g = hpoly.to_ntt(params, hpoly.build_gadget(params, 2, 2 * params.t_gsw))
         self.gadget_ntt_u32 = g.astype(np.uint32)
         self.db = None
+        self.mesh = mesh
         self._jit_expand = jax.jit(self._expand_impl)
-        self._jit_scan_fold = jax.jit(self._scan_fold_impl)
+        if mesh is not None:
+            from .shard import ShardedSpiralScan
+
+            self._sharded = ShardedSpiralScan(params, mesh, self.gadget_ntt_u32)
+            self._jit_scan_fold = self._sharded.scan_fold
+        else:
+            self._sharded = None
+            self._jit_scan_fold = jax.jit(self._scan_fold_impl)
         self._jit_pack = jax.jit(self._pack_impl)
 
     # -- state --
@@ -76,10 +89,12 @@ class SpiralServerJax:
         """items: (instances, trials, num_items, poly_len) mod-p uint64."""
         from ..server_host import build_db_tensor
 
-        self.db = db_tensor_to_device(self.params, build_db_tensor(self.params, items))
+        self.set_db_host_tensor(build_db_tensor(self.params, items))
 
     def set_db_host_tensor(self, db_host: np.ndarray):
         self.db = db_tensor_to_device(self.params, db_host)
+        if self._sharded is not None:
+            self.db = self._sharded.shard_db(self.db)
 
     # -- traced stages --
 

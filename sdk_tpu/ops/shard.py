@@ -100,3 +100,53 @@ class ShardedSpiralScan:
         mesh with the scan sharding."""
         spec = P(None, "dp", None, None, None, "db")
         return jax.device_put(db, jax.sharding.NamedSharding(self.mesh, spec))
+
+
+class DoublePirShardedScan:
+    """DoublePIR online scan over a row-sharded DB.
+
+    The first-level matvec DB_rows x q1 dominates the answer; rows shard
+    over the mesh's "db" axis (every device scans its chunk — the reference
+    chunk-and-sum pattern, bin/e2e.rs:60-106, with the response gather as
+    the collective). All arithmetic is mod 2^32 so partial rows concatenate
+    without any reduction.
+    """
+
+    def __init__(self, mesh: Mesh):
+        from ..doublepir.jax_kernels import mat_mul_vec_packed_traced
+
+        self.mesh = mesh
+        axis = "db"
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis, None), P(None, None)),
+            out_specs=P(axis, None), check_rep=False)
+        def scan(db_rows, q_wide):
+            return mat_mul_vec_packed_traced(db_rows, q_wide)
+
+        self.scan = jax.jit(scan)
+
+    def shard_rows(self, db_packed):
+        n = self.mesh.shape["db"]
+        rows = db_packed.shape[0]
+        pad = (-rows) % n
+        if pad:
+            db_packed = np.vstack(
+                [db_packed, np.zeros((pad, db_packed.shape[1]),
+                                     dtype=db_packed.dtype)])
+        return jax.device_put(
+            jnp.asarray(db_packed),
+            jax.sharding.NamedSharding(self.mesh, P("db", None)))
+
+    def answer_firstlevel(self, db_sharded, queries_q1: list[np.ndarray],
+                          total_rows: int) -> np.ndarray:
+        """queries_q1: one (m3, 1) u32 column per row-batch. Returns the
+        concatenated a_1 (total_rows, 1), selecting each row's own batch
+        column (semantics of scheme.answer's per-batch loop)."""
+        q_wide = jnp.asarray(np.concatenate(queries_q1, axis=1))
+        full = np.asarray(self.scan(db_sharded, q_wide))[:total_rows]
+        nq = len(queries_q1)
+        batch_sz = total_rows // nq
+        batch_of_row = np.minimum(np.arange(total_rows) // batch_sz, nq - 1)
+        return np.take_along_axis(full, batch_of_row[:, None], axis=1)

@@ -1,0 +1,87 @@
+"""Multi-chip sharded serving on the virtual 8-device CPU mesh: results must
+be bit-identical to single-device serving (the chunk-and-reduce pattern as a
+real collective)."""
+
+import numpy as np
+import pytest
+
+from sdk_tpu import poly, server_host
+from sdk_tpu.arith import log2_ceil
+from sdk_tpu.client import Client, PublicParameters, Query
+from sdk_tpu.ops.server_jax import SpiralServerJax
+from sdk_tpu.ops.shard import DoublePirShardedScan, make_mesh, psum_mod
+from sdk_tpu.params import get_fast_expansion_testing_params
+from sdk_tpu.rng import ChaCha20Rng
+
+RNG = np.random.default_rng(23)
+
+
+def test_psum_mod_exact():
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    q = 268369921
+    mesh = make_mesh(8, dp=1)
+    x = RNG.integers(0, q, (8, 128), dtype=np.uint64).astype(np.uint32)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=P(("dp", "db"), None),
+                       out_specs=P(("dp", "db"), None), check_rep=False)
+    def f(shard):
+        return psum_mod(shard, q, "db")
+
+    got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    want = (x.astype(np.uint64).sum(axis=0) % q).astype(np.uint32)
+    for d in range(8):
+        np.testing.assert_array_equal(got[d], want)
+
+
+def test_spiral_sharded_matches_single_device():
+    params = get_fast_expansion_testing_params()
+    target_idx = 41 % params.num_items()
+    client = Client(params)
+    pp = client.generate_keys_from_seed(
+        b"\x31" * 32, noise_rng=ChaCha20Rng(b"\x32" * 32), pp_seed=b"\x33" * 32)
+    pp2 = PublicParameters.deserialize(params, pp.serialize(params))
+    query = client.generate_query(
+        target_idx, noise_rng=ChaCha20Rng(b"\x34" * 32), query_seed=b"\x35" * 32)
+    q2 = Query.deserialize(params, query.serialize(params))
+    item, db = server_host.generate_random_db_and_get_item(params, target_idx)
+
+    single = SpiralServerJax(params)
+    single.set_db_host_tensor(db)
+    want = single.process_query(pp2, q2)
+
+    mesh = make_mesh(8, dp=2)   # trials over dp=2, dim0 rows over db=4
+    sharded = SpiralServerJax(params, mesh=mesh)
+    sharded.set_db_host_tensor(db)
+    got = sharded.process_query(pp2, q2)
+
+    assert got == want
+    result = client.decode_response(got)
+    p_bits = log2_ceil(params.pt_modulus)
+    corr = poly.raw_to_bytes(params, item, p_bits, params.modp_words_per_chunk())
+    assert result == corr
+
+
+def test_doublepir_sharded_firstlevel_matches_host():
+    from sdk_tpu.doublepir.matrix import mat_mul_vec_packed, squish
+
+    mesh = make_mesh(8, dp=1)
+    rows, cols = 104, 12   # not divisible by 8 -> exercises padding
+    db = RNG.integers(0, 1 << 10, (rows, cols * 3), dtype=np.uint64).astype(np.uint32)
+    dbp = squish(db)
+    q1 = RNG.integers(0, 1 << 32, (cols * 3, 1), dtype=np.uint64).astype(np.uint32)
+    q2 = RNG.integers(0, 1 << 32, (cols * 3, 1), dtype=np.uint64).astype(np.uint32)
+
+    scan = DoublePirShardedScan(mesh)
+    db_sh = scan.shard_rows(dbp)
+    got = scan.answer_firstlevel(db_sh, [q1, q2], rows)
+
+    batch_sz = rows // 2
+    want = np.vstack([mat_mul_vec_packed(dbp[:batch_sz], q1),
+                      mat_mul_vec_packed(dbp[batch_sz:], q2)])
+    np.testing.assert_array_equal(got, want)
