@@ -122,7 +122,19 @@ DEFAULT_CFG = """{
 }"""
 
 
+def enable_jit_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache: the serving pipelines take minutes
+    to compile cold; cache across restarts."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      path or "/tmp/sdk_tpu_jit_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main(argv: list[str]):
+    enable_jit_cache()
     port = int(argv[1]) if len(argv) > 1 else 8008
     if len(argv) == 4:
         from ..params_store import get_params_from_store
