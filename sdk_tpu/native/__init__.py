@@ -41,6 +41,9 @@ def _load():
         lib.poly_to_bytes.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
             ctypes.c_uint64, ctypes.c_uint32, ctypes.c_void_p]
+        lib.rescale.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_void_p]
         _LIB = lib
     except OSError:
         _LIB = None
@@ -66,6 +69,19 @@ def read_fields(data: bytes, bit_offs: int, num_bits: int, count: int) -> np.nda
     lib.read_fields(buf.ctypes.data, bit_offs, num_bits, count,
                     out.ctypes.data)
     return out
+
+
+def rescale_arr(a: np.ndarray, inp_mod: int, out_mod: int) -> np.ndarray:
+    """Exact modulus-switch rescale via the C++ __int128 kernel; falls back
+    to sdk_tpu.arith.rescale_arr (exact but slow for 56-bit inputs)."""
+    lib = _load()
+    if lib is None:
+        from ..arith import rescale_arr as np_rescale
+        return np_rescale(a, inp_mod, out_mod)
+    flat = np.ascontiguousarray(a.reshape(-1).astype(np.uint64))
+    out = np.empty_like(flat)
+    lib.rescale(flat.ctypes.data, len(flat), inp_mod, out_mod, out.ctypes.data)
+    return out.reshape(a.shape)
 
 
 def write_fields(data: bytearray, vals: np.ndarray, bit_offs: int,

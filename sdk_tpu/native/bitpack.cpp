@@ -62,4 +62,24 @@ void poly_to_bytes(const uint64_t* coeffs, uint64_t num_polys,
     }
 }
 
+// Modulus switch with rounding (reference arith.rs:429-444): recenter the
+// mod-inp value, scale by out/inp rounding half away from zero (i128
+// truncating division), remap to [0, out).
+void rescale(const uint64_t* vals, uint64_t count, uint64_t inp_mod,
+             uint64_t out_mod, uint64_t* out) {
+    const __int128 half = (__int128)(inp_mod / 2);
+    for (uint64_t i = 0; i < count; i++) {
+        __int128 v = (__int128)(vals[i] % inp_mod);
+        if (v >= half) v -= (__int128)inp_mod;
+        const __int128 sign = v >= 0 ? 1 : -1;
+        __int128 num = v * (__int128)out_mod + sign * half;
+        __int128 quot = num / (__int128)inp_mod;  // truncates toward zero
+        __int128 res =
+            (quot + (__int128)((inp_mod / out_mod) * out_mod) +
+             2 * (__int128)out_mod) %
+            (__int128)out_mod;
+        out[i] = (uint64_t)res;
+    }
+}
+
 }  // extern "C"

@@ -255,7 +255,10 @@ class SpiralServerJax:
 
 def encode_response(params: Params, packed: np.ndarray) -> bytes:
     """packed: (instances, n+1, n, poly_len) raw u64. Rescale + bit-pack
-    (reference server.rs:470-503)."""
+    (reference server.rs:470-503). Uses the native C++ codecs when built
+    (the numpy rescale falls back to exact Python ints above 63 bits)."""
+    from .. import native
+
     q1 = 4 * params.pt_modulus
     q1_bits = log2_ceil(q1)
     q2 = Q2_VALUES[params.q2_bits]
@@ -267,8 +270,10 @@ def encode_response(params: Params, packed: np.ndarray) -> bytes:
     result = bytearray(num_bytes)
     bit_offs = 0
     for instance in range(params.instances):
-        first_row = rescale_arr(packed[instance, 0], params.modulus, q2)
-        rest_rows = rescale_arr(packed[instance, 1:], params.modulus, q1)
-        bit_offs = write_fields(result, first_row.reshape(-1), bit_offs, q2_bits)
-        bit_offs = write_fields(result, rest_rows.reshape(-1), bit_offs, q1_bits)
+        first_row = native.rescale_arr(packed[instance, 0], params.modulus, q2)
+        rest_rows = native.rescale_arr(packed[instance, 1:], params.modulus, q1)
+        bit_offs = native.write_fields(result, first_row.reshape(-1),
+                                       bit_offs, q2_bits)
+        bit_offs = native.write_fields(result, rest_rows.reshape(-1),
+                                       bit_offs, q1_bits)
     return bytes(result)

@@ -36,3 +36,21 @@ def test_native_write_preserves_surrounding_bits():
     np_bp.write_fields(buf_np, vals, 13, 11)
     native.write_fields(buf_c, vals, 13, 11)
     assert bytes(buf_np) == bytes(buf_c)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_native_rescale_matches_numpy():
+    from sdk_tpu.arith import rescale_arr as np_rescale
+    from sdk_tpu.params import DEFAULT_MODULI
+
+    Q = DEFAULT_MODULI[0] * DEFAULT_MODULI[1]
+    vals = RNG.integers(0, Q, 4096, dtype=np.uint64)
+    for out_mod in (1024, 4194304, 268369921):
+        got = native.rescale_arr(vals, Q, out_mod)
+        want = np_rescale(vals, Q, out_mod)
+        np.testing.assert_array_equal(got, want)
+    # small-modulus vectorized path too
+    vals32 = RNG.integers(0, 1 << 22, 1000, dtype=np.uint64)
+    got = native.rescale_arr(vals32, 1 << 22, 256)
+    want = np_rescale(vals32, 1 << 22, 256)
+    np.testing.assert_array_equal(got, want)
