@@ -45,15 +45,18 @@ def db_tensor_to_device(params: Params, db_host: np.ndarray):
 
 
 def pp_to_device(params: Params, pp: PublicParameters) -> dict:
-    """Stack public-parameter matrices into device uint32 arrays."""
-    out = {"v_packing": jnp.asarray(
-        np.stack([m.astype(np.uint32) for m in pp.v_packing]))}
+    """Stack public-parameter matrices into device uint32 arrays, paired
+    with host-precomputed Shoup companions (session-fixed key material)."""
+    def keyed(m: np.ndarray):
+        return (jnp.asarray(m.astype(np.uint32)),
+                jnp.asarray(sj.shoup_companion_arr(params, m)))
+
+    out = {"v_packing": [keyed(m) for m in pp.v_packing]}
     if params.expand_queries:
-        out["v_exp_left"] = [jnp.asarray(m.astype(np.uint32))
-                             for m in pp.v_expansion_left]
+        out["v_exp_left"] = [keyed(m) for m in pp.v_expansion_left]
         right = pp.v_expansion_right or pp.v_expansion_left
-        out["v_exp_right"] = [jnp.asarray(m.astype(np.uint32)) for m in right]
-        out["v_conversion"] = jnp.asarray(pp.v_conversion[0].astype(np.uint32))
+        out["v_exp_right"] = [keyed(m) for m in right]
+        out["v_conversion"] = keyed(pp.v_conversion[0])
     return out
 
 
@@ -139,12 +142,12 @@ class SpiralServerJax:
 
     def _pack_impl(self, folded_hi, folded_lo, v_packing):
         """folded: (inst, trials, 2, 1, n) pairs -> packed raw
-        (inst, n+1, n, poly_len) pairs."""
+        (inst, n+1, n, poly_len) pairs. v_packing: list of keyed matrices."""
         params = self.params
         outs_h, outs_l = [], []
         for inst in range(params.instances):
             packed = sj.pack(params, folded_hi[inst], folded_lo[inst],
-                             [v_packing[i] for i in range(v_packing.shape[0])])
+                             v_packing)
             h, l = sj.from_ntt(params, packed)
             outs_h.append(h)
             outs_l.append(l)

@@ -99,10 +99,18 @@ def _sum_mod(t, axis: int, q: int):
 def matmul_mod(params: Params, a, b):
     """NTT-domain modular matmul.
 
-    a: (ra, k, crt, n); b: (..., k, cb, crt, n) with optional leading batch
-    dims. Returns (..., ra, cb, crt, n). Inputs must be < 2^32 (any); output
-    canonical in [0, q_c).
+    a: (ra, k, crt, n) — or a (w, w_shoup) tuple of such arrays for
+    session-fixed key material with host-precomputed Shoup companions
+    floor(w * 2^32 / q_c) (prepared in server_jax.pp_to_device), which
+    replaces the generic 64-bit mulmod with one mulhi per term.
+    b: (..., k, cb, crt, n) with optional leading batch dims.
+    Returns (..., ra, cb, crt, n), canonical in [0, q_c).
     """
+    from .modops import shoup_mulmod_var_lazy
+
+    a_shoup = None
+    if isinstance(a, tuple):
+        a, a_shoup = a
     batch = b.shape[:-4]
     ra, k = a.shape[0], a.shape[1]
     cb = b.shape[-3]
@@ -110,12 +118,30 @@ def matmul_mod(params: Params, a, b):
     for c, q in enumerate(params.moduli):
         ac = a[..., c, :]                       # (ra, k, n)
         bc = b[..., c, :]                       # (..., k, cb, n)
-        ax = ac.reshape((1,) * len(batch) + (ra, k, 1, ac.shape[-1]))
-        bx = bc.reshape(batch + (1, k, cb, bc.shape[-1]))
-        t = mulmod(jnp.broadcast_to(ax, batch + (ra, k, cb, ac.shape[-1])),
-                   jnp.broadcast_to(bx, batch + (ra, k, cb, ac.shape[-1])), q)
+        shape = batch + (ra, k, cb, ac.shape[-1])
+        ax = jnp.broadcast_to(
+            ac.reshape((1,) * len(batch) + (ra, k, 1, ac.shape[-1])), shape)
+        bx = jnp.broadcast_to(
+            bc.reshape(batch + (1, k, cb, bc.shape[-1])), shape)
+        if a_shoup is not None:
+            sx = jnp.broadcast_to(
+                a_shoup[..., c, :].reshape(
+                    (1,) * len(batch) + (ra, k, 1, ac.shape[-1])), shape)
+            t = cond_sub_q(shoup_mulmod_var_lazy(bx, ax, sx, q), q)
+        else:
+            t = mulmod(ax, bx, q)
         out_ch.append(_sum_mod(t, axis=len(batch) + 1, q=q))
     return jnp.stack(out_ch, axis=-2)
+
+
+def shoup_companion_arr(params: Params, w: np.ndarray) -> np.ndarray:
+    """Host precompute: floor(w * 2^32 / q_c) per channel for an NTT matrix
+    (..., crt, n) with values < q_c < 2^28 (fits u64 shifts)."""
+    out = np.empty_like(w, dtype=np.uint64)
+    for c, q in enumerate(params.moduli):
+        out[..., c, :] = (w[..., c, :].astype(np.uint64) << np.uint64(32)) \
+            // np.uint64(q)
+    return out.astype(np.uint32)
 
 
 def scalar_mulmod(params: Params, s, b):
@@ -264,7 +290,7 @@ def _expansion_round_update(params: Params, cts, w, t_tables, mask):
     perm, neg = t_tables
     hi, lo = from_ntt(params, cts)                     # (B, 2, 1, n) pairs
     a_hi, a_lo = automorph_pair(params, hi, lo, perm, neg)
-    t_exp = w.shape[1]
+    t_exp = (w[0] if isinstance(w, tuple) else w).shape[1]
     ginv = gadget_digits(params, a_hi[:, 0:1], a_lo[:, 0:1], t_exp, 1)
     ginv_ntt = to_ntt_no_reduce(params, ginv)          # (B, t_exp, 1, crt, n)
     w_g = matmul_mod(params, w, ginv_ntt)              # (B, 2, 1, crt, n)

@@ -86,7 +86,8 @@ class SpiralKvServer:
         max_len = params.instances * params.n * params.n * params.bytes_per_chunk()
         if len(data) > max_len:
             raise ValueError(f"row {db_idx} data too large: {len(data)} > {max_len}")
-        self._updates.upsert(db_idx, convert_chunks_to_ntt(params, data))
+        # NTT encode runs on device in one batch at flush time
+        self._updates.upsert_raw(db_idx, data)
 
     def update_item(self, body: bytes) -> None:
         """body = u32 idx BE || chunk bytes (loading.rs:301-316)."""
