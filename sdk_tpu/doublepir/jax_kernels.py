@@ -84,6 +84,37 @@ def mat_mul_vec_packed_traced(a_packed, b, basis: int = SQUISH_BASIS,
     return matmul_u32_traced(un, b)
 
 
+def mat_mul_transposed_packed_traced(a_packed, b, basis: int = SQUISH_BASIS,
+                                     delta: int = SQUISH_DELTA):
+    """unsquish(a) @ b.T on device (reference kernels.rs:180-278)."""
+    rows, cols = a_packed.shape
+    un = unsquish_traced(a_packed, cols * delta, basis, delta)
+    return matmul_u32_traced(un, jnp.transpose(b))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_mv():
+    return jax.jit(mat_mul_vec_packed_traced)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_mt():
+    return jax.jit(mat_mul_transposed_packed_traced)
+
+
+def device_kernels():
+    """Host-callable (mat_mul_vec_packed, mat_mul_transposed_packed) pair —
+    drop-in for scheme.answer(kernels=...)."""
+
+    def mv(a, b):
+        return np.asarray(_jit_mv()(jnp.asarray(a), jnp.asarray(b)))
+
+    def mt(a, b):
+        return np.asarray(_jit_mt()(jnp.asarray(a), jnp.asarray(b)))
+
+    return mv, mt
+
+
 class DoublePirAnswerJax:
     """Device-resident DoublePIR online answer path.
 

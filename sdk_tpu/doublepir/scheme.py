@@ -113,9 +113,13 @@ def query(i: int, shared: State, params: Params, info: DbInfo,
 
 def answer(db: Db, queries: list[State], server: State, params: Params,
            raw_data: np.ndarray | None = None,
-           chunk_idx: int | None = None) -> State:
+           chunk_idx: int | None = None,
+           kernels=None) -> State:
     """Batch answer: each query selects a column from its row-batch of the DB
-    (doublepir.rs:246-350). db must be squished."""
+    (doublepir.rs:246-350). db must be squished. `kernels` may supply
+    (mat_mul_vec_packed, mat_mul_transposed_packed) device implementations."""
+    mv, mt = kernels if kernels else (mat_mul_vec_packed,
+                                      mat_mul_transposed_packed)
     h_1, a_2_t = server[0], server[1]
     data = raw_data if raw_data is not None else db.data
     # batch partitioning always follows the FULL DB height, even when this
@@ -136,20 +140,20 @@ def answer(db: Db, queries: list[State], server: State, params: Params,
                 parts.append(np.zeros((batch_sz, 1), dtype=U32))
                 last += batch_sz
                 continue
-        parts.append(mat_mul_vec_packed(data[start_row : start_row + batch_sz],
+        parts.append(mv(data[start_row : start_row + batch_sz],
                                         q[0]))
         last += batch_sz
     a_1 = np.vstack(parts)                       # (l, 1)
 
     a_1t = transpose_expand_concat_cols_squish(
         a_1, params.p, params.delta(), db.info.x)
-    msg: State = [mat_mul_transposed_packed(a_1t, a_2_t)]  # (delta*x, n)
+    msg: State = [mt(a_1t, a_2_t)]  # (delta*x, n)
 
     for q in queries:
         for j in range(db.info.ne // db.info.x):
             q_2 = q[1 + j]
-            a_2 = mat_mul_vec_packed(h_1, q_2)   # (n*delta*x, 1)
-            h_2 = mat_mul_vec_packed(a_1t, q_2)  # (delta*x, 1)
+            a_2 = mv(h_1, q_2)   # (n*delta*x, 1)
+            h_2 = mv(a_1t, q_2)  # (delta*x, 1)
             msg.append(a_2)
             msg.append(h_2)
     return msg

@@ -29,7 +29,7 @@ class DoublePirKvServer:
     DoublePIR queries."""
 
     def __init__(self, log2m: int, params: Params | None = None,
-                 matmul_u32_fn=None):
+                 matmul_u32_fn=None, use_device: bool = False):
         self.log2m = log2m
         self.num_entries = 1 << log2m
         self.params = params or pick_params(self.num_entries, 1, SEC_PARAM,
@@ -39,6 +39,13 @@ class DoublePirKvServer:
         self.version = 0
         self.lock = threading.RLock()
         self._matmul = matmul_u32_fn
+        self._kernels = None
+        if use_device:
+            from ..doublepir.jax_kernels import (device_kernels,
+                                                 matmul_u32_device)
+
+            self._matmul = matmul_u32_fn or matmul_u32_device
+            self._kernels = device_kernels()
         self.db: Db | None = None
         self.server_state: list = []
         self.hint: list = []
@@ -75,7 +82,7 @@ class DoublePirKvServer:
             self._rebuild()
             queries = deserialize_states(query_bytes)
             resp = scheme.answer(self.db, queries, self.server_state,
-                                 self.params)
+                                 self.params, kernels=self._kernels)
             return serialize_state(resp)
 
     def meta(self) -> dict:

@@ -134,6 +134,13 @@ def enable_jit_cache(path: str | None = None) -> None:
 
 
 def main(argv: list[str]):
+    import os
+
+    if os.environ.get("SDK_TPU_FORCE_CPU"):
+        # the axon TPU plugin overrides JAX_PLATFORMS env; force via config
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     enable_jit_cache()
     port = int(argv[1]) if len(argv) > 1 else 8008
     if len(argv) == 4:

@@ -54,3 +54,25 @@ def test_e2e_with_device_setup_matmul():
     ans = scheme.answer(db, [q], server_state, params)
     result = scheme.recover(idx, 0, hint, q, ans, shared, cs, params, db.info)
     assert result == 1
+
+
+def test_answer_with_device_kernels():
+    from sdk_tpu.doublepir.jax_kernels import device_kernels
+
+    num_entries = 1 << 14
+    params = pick_params(num_entries, 1, SEC_PARAM, LOGQ, lower_bound_m=1)
+    idx = int(RNG.integers(0, num_entries))
+    vals = RNG.integers(0, 2, num_entries, dtype=np.uint64)
+    vals[idx] = 1
+    db = Db.from_entries(num_entries, 1, params, vals.tolist())
+    shared = scheme.init(db.info, params)
+    server_state, hint = scheme.setup(db, shared, params)
+    cs, q = scheme.query(idx, shared, params, db.info, RNG)
+    ans_host = scheme.answer(db, [q], server_state, params)
+    ans_dev = scheme.answer(db, [q], server_state, params,
+                            kernels=device_kernels())
+    for a, b in zip(ans_host, ans_dev):
+        np.testing.assert_array_equal(a, b)
+    result = scheme.recover(idx, 0, hint, q, ans_dev, shared, cs, params,
+                            db.info)
+    assert result == 1

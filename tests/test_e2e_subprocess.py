@@ -1,0 +1,94 @@
+"""Hermetic e2e with a real server subprocess (the reference's
+e2e-tests/main.ts pattern: spawn the server binary, wait for "Listening on",
+drive the SDK against it), plus failure-recovery behaviors."""
+
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+
+import pytest
+
+from sdk_tpu.params import get_fast_expansion_testing_params, params_to_json_obj
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def server_proc(tmp_path_factory):
+    params_file = tmp_path_factory.mktemp("cfg") / "params.json"
+    params = get_fast_expansion_testing_params()
+    params_file.write_text(json.dumps(params_to_json_obj(params)))
+    port = free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SDK_TPU_FORCE_CPU"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sdk_tpu.server.http", str(port),
+         str(params_file)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # wait for "Listening on" (main.ts:21-27 pattern)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if "Listening on" in line:
+            break
+    else:
+        proc.kill()
+        pytest.fail("server did not start")
+    yield port, proc
+    proc.send_signal(signal.SIGTERM)
+    proc.wait(timeout=10)
+
+
+def test_subprocess_e2e(server_proc):
+    from sdk_tpu.clients.bucket_service import connect_local
+
+    port, _ = server_proc
+    bucket = connect_local(port)
+    bucket.write({"spawned": b"server works"})
+    assert bucket.private_read(["spawned"]) == [b"server works"]
+
+
+def test_client_resetup_after_server_loses_uuid(server_proc):
+    """If the server no longer has the client's public params (404 on the
+    uuid), the client must transparently re-setup (reference
+    bucket.ts:84-95, bucket.py:280-290)."""
+    from sdk_tpu.clients.bucket_service import connect_local
+
+    port, _ = server_proc
+    bucket = connect_local(port)
+    bucket.write({"resetup-key": b"still here"})
+    assert bucket.private_read(["resetup-key"]) == [b"still here"]
+    first_uuid = bucket._public_uuid
+    # simulate server-side state loss: poison the client's uuid
+    bucket._public_uuid = "00000000-0000-4000-8000-000000000000"
+    assert bucket.private_read(["resetup-key"]) == [b"still here"]
+    assert bucket._public_uuid != "00000000-0000-4000-8000-000000000000"
+    assert bucket._public_uuid != first_uuid
+
+
+def test_async_bucket(server_proc):
+    import asyncio
+
+    from sdk_tpu.clients.api import API
+    from sdk_tpu.clients.async_bucket import AsyncBucket
+
+    port, _ = server_proc
+    bucket = AsyncBucket(API("", f"http://localhost:{port}"))
+
+    async def run():
+        await bucket.async_write({f"async-{i}": f"v{i}".encode()
+                                  for i in range(10)})
+        return await bucket.async_private_read(["async-3", "async-7"])
+
+    got = asyncio.run(run())
+    assert got == [b"v3", b"v7"]
