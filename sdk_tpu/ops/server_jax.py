@@ -181,11 +181,32 @@ class SpiralServerJax:
             jnp.asarray(hi), jnp.asarray(lo))
         return q_arr, v_folding
 
+    def _full_impl(self, db, ct0_hi, ct0_lo, v_exp_left, v_exp_right, v_conv,
+                   v_packing):
+        """Whole query pipeline as ONE traced program (single dispatch)."""
+        q_arr, v_folding = self._expand_impl(ct0_hi, ct0_lo, v_exp_left,
+                                             v_exp_right, v_conv)
+        f_hi, f_lo = self._scan_fold_impl(db, q_arr, v_folding)
+        return self._pack_impl(f_hi, f_lo, v_packing)
+
     def process_query(self, pp: PublicParameters | dict, query: Query) -> bytes:
         from ..telemetry import GLOBAL_TIMERS as T
 
         params = self.params
         pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
+        if params.expand_queries and self._sharded is None:
+            # fused single-dispatch path
+            with T.stage("query_fused"):
+                if not hasattr(self, "_jit_full"):
+                    self._jit_full = jax.jit(self._full_impl)
+                ct_hi, ct_lo = _split_pair_np(query.ct)
+                p_hi, p_lo = self._jit_full(
+                    self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
+                    pp_dev["v_exp_left"], pp_dev["v_exp_right"],
+                    pp_dev["v_conversion"], pp_dev["v_packing"])
+                packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
+            with T.stage("encode"):
+                return encode_response(params, packed)
         with T.stage("expand"):
             q_arr, v_folding = self.query_to_device(pp_dev, query)
         with T.stage("scan_fold"):
