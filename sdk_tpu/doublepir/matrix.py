@@ -178,13 +178,12 @@ def matmul_u32(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def mat_mul_vec_packed(a_packed: np.ndarray, b: np.ndarray,
                        basis: int = SQUISH_BASIS,
                        delta: int = SQUISH_DELTA) -> np.ndarray:
-    """unsquish(a) @ b for a column vector b (3*cols rows), wrapping u32
-    (reference kernels.rs:14-178)."""
+    """unsquish(a) @ b, wrapping u32 (reference kernels.rs:14-178).
+    b: (cols*delta, K) — K > 1 batches query columns over one DB pass."""
     rows, cols = a_packed.shape
-    assert b.shape == (cols * delta, 1) or b.shape == (cols * delta,)
-    bv = b.reshape(cols * delta, 1)
+    bv = b.reshape(cols * delta, -1)
     mask = U32((1 << basis) - 1)
-    out = np.zeros((rows, 1), dtype=U32)
+    out = np.zeros((rows, bv.shape[1]), dtype=U32)
     for k in range(delta):
         out += matmul_u32((a_packed >> U32(k * basis)) & mask, bv[k::delta])
     return out

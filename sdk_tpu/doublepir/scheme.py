@@ -149,13 +149,15 @@ def answer(db: Db, queries: list[State], server: State, params: Params,
         a_1, params.p, params.delta(), db.info.x)
     msg: State = [mt(a_1t, a_2_t)]  # (delta*x, n)
 
-    for q in queries:
-        for j in range(db.info.ne // db.info.x):
-            q_2 = q[1 + j]
-            a_2 = mv(h_1, q_2)   # (n*delta*x, 1)
-            h_2 = mv(a_1t, q_2)  # (delta*x, 1)
-            msg.append(a_2)
-            msg.append(h_2)
+    # batch all second-level queries into single matvec passes over H1/a_1t
+    q2_cols = [q[1 + j] for q in queries
+               for j in range(db.info.ne // db.info.x)]
+    q2_all = np.concatenate(q2_cols, axis=1)      # (l3, K)
+    a_2_all = mv(h_1, q2_all)                     # (n*delta*x, K)
+    h_2_all = mv(a_1t, q2_all)                    # (delta*x, K)
+    for k in range(q2_all.shape[1]):
+        msg.append(np.ascontiguousarray(a_2_all[:, k : k + 1]))
+        msg.append(np.ascontiguousarray(h_2_all[:, k : k + 1]))
     return msg
 
 
