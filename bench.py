@@ -38,17 +38,24 @@ def main():
     trials = params.n * params.n
     R = 2 * NUM_QUERIES
 
-    rng = np.random.default_rng(0)
-    db = np.empty((trials, params.crt_count, params.poly_len, num_per, dim0),
-                  dtype=np.uint32)
-    q_arr = np.empty((params.crt_count, params.poly_len, dim0, R), dtype=np.uint32)
-    for c, q in enumerate(params.moduli):
-        db[:, c] = rng.integers(0, q, (trials, params.poly_len, num_per, dim0),
-                                dtype=np.uint64)
-        q_arr[c] = rng.integers(0, q, (params.poly_len, dim0, R), dtype=np.uint64)
+    # generate operands ON DEVICE (uploading a multi-GB DB through the axon
+    # tunnel is slow and flaky); values uniform in [0, q_c)
+    @jax.jit
+    def gen():
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        chans_db, chans_q = [], []
+        for c, q in enumerate(params.moduli):
+            chans_db.append(jax.random.randint(
+                jax.random.fold_in(k1, c), (trials, params.poly_len, num_per, dim0),
+                0, q, dtype=jnp.uint32))
+            chans_q.append(jax.random.randint(
+                jax.random.fold_in(k2, c), (params.poly_len, dim0, R),
+                0, q, dtype=jnp.uint32))
+        return jnp.stack(chans_db, axis=1), jnp.stack(chans_q, axis=0)
 
-    db_dev = jax.device_put(jnp.asarray(db))
-    q_dev = jax.device_put(jnp.asarray(q_arr))
+    db_dev, q_dev = gen()
+    db_dev.block_until_ready()
 
     @jax.jit
     def scan(db, q_arr):

@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ..params import Params
 from . import modops
 from .modops import (
@@ -43,7 +45,13 @@ from .modops import (
     u64_bits,
     u64_const_sub,
 )
-from .ntt_jax import ntt_forward, ntt_inverse
+
+# NTT implementation switch: butterfly (default) or the four-step MXU
+# formulation (SDK_TPU_NTT=fourstep) — bit-exact alternatives.
+if os.environ.get("SDK_TPU_NTT") == "fourstep":
+    from .ntt_fourstep import ntt_forward, ntt_inverse
+else:
+    from .ntt_jax import ntt_forward, ntt_inverse
 
 LIMB_BITS = 7
 NUM_LIMBS = 4  # 4 x 7 = 28 bits covers both CRT moduli (q < 2^28)
