@@ -76,12 +76,32 @@ def unsquish_traced(m, orig_cols: int, basis: int = SQUISH_BASIS,
     return out[:, :orig_cols]
 
 
+ROW_CHUNK = 4096
+
+
 def mat_mul_vec_packed_traced(a_packed, b, basis: int = SQUISH_BASIS,
                               delta: int = SQUISH_DELTA):
-    """unsquish(a) @ b on device (b: (cols*delta, N) — N can batch queries)."""
+    """unsquish(a) @ b on device (b: (cols*delta, N) — N can batch queries).
+
+    Rows are processed in chunks so the unsquished copy and limb arrays
+    never materialize more than ROW_CHUNK rows in HBM (checklist-scale DBs
+    are tens of GB unsquished)."""
     rows, cols = a_packed.shape
-    un = unsquish_traced(a_packed, cols * delta, basis, delta)
-    return matmul_u32_traced(un, b)
+    if rows <= ROW_CHUNK:
+        un = unsquish_traced(a_packed, cols * delta, basis, delta)
+        return matmul_u32_traced(un, b)
+    n_full = rows // ROW_CHUNK
+
+    def one(chunk):
+        un = unsquish_traced(chunk, cols * delta, basis, delta)
+        return matmul_u32_traced(un, b)
+
+    body = jax.lax.map(one, a_packed[: n_full * ROW_CHUNK]
+                       .reshape(n_full, ROW_CHUNK, cols))
+    out = body.reshape(n_full * ROW_CHUNK, -1)
+    if rows % ROW_CHUNK:
+        out = jnp.concatenate([out, one(a_packed[n_full * ROW_CHUNK :])])
+    return out
 
 
 def mat_mul_transposed_packed_traced(a_packed, b, basis: int = SQUISH_BASIS,
