@@ -23,8 +23,6 @@ Inverse:  x[i] = (1/N) psi^(-i) * DFT_{w^-1}(Xhat)[i], same structure with
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ Layout conventions (batch dims lead, poly axis last):
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

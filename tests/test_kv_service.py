@@ -118,3 +118,38 @@ def test_http_meta_version_increments(live_server):
     api.write("", {"vkey": "dGVzdA=="})
     v1 = api.meta()["global_version"]
     assert v1 == v0 + 1
+
+
+@pytest.fixture(scope="module")
+def live_server_direct():
+    """Direct-upload (no expansion keys) server — the public params ride
+    along with every query (bin/server.rs:123-137)."""
+    from sdk_tpu.params import get_no_expansion_testing_params
+    from sdk_tpu.server.http import serve
+    from sdk_tpu.server.kv_server import SpiralKvServer
+
+    params = get_no_expansion_testing_params()
+    # item bytes must be ingestible: p=65536 is not the logp=8 fast path;
+    # use a logp=8 direct-upload config instead
+    from sdk_tpu.params import params_from_json
+
+    params = params_from_json(
+        '{"direct_upload": 1, "n": 2, "nu_1": 4, "nu_2": 2, "p": 256,'
+        ' "q2_bits": 20, "t_gsw": 8, "t_conv": 4, "t_exp_left": 8,'
+        ' "t_exp_right": 8}')
+    srv = SpiralKvServer(params)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    httpd = serve(srv, port, block=False)
+    yield port
+    httpd.shutdown()
+
+
+def test_http_e2e_direct_upload(live_server_direct):
+    from sdk_tpu.clients.bucket_service import connect_local
+
+    bucket = connect_local(live_server_direct)
+    assert not bucket.params.expand_queries
+    bucket.write({"du-key": b"direct upload works"})
+    assert bucket.private_read(["du-key"]) == [b"direct upload works"]
