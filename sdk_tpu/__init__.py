@@ -15,3 +15,21 @@ rows, identical params JSON schema).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports mirroring the reference package surface
+    (python/blyss/main.py: Client = BucketService)."""
+    if name in ("Client", "BucketService"):
+        from .clients.bucket_service import BucketService
+        return BucketService
+    if name == "Bucket":
+        from .clients.bucket import Bucket
+        return Bucket
+    if name == "AsyncBucket":
+        from .clients.async_bucket import AsyncBucket
+        return AsyncBucket
+    if name == "connect_local":
+        from .clients.bucket_service import connect_local
+        return connect_local
+    raise AttributeError(name)

@@ -184,6 +184,27 @@ class Bucket:
         found = self.private_read(candidates)
         return [k for k, v in zip(candidates, found) if v is not None]
 
+    def clear_entire_bucket(self) -> None:
+        """Delete all keys; metadata, params, and client setup survive
+        (reference bucket.py clear_entire_bucket)."""
+        self._api._post(self._api._url(self.name, "/clear"), b"{}",
+                        compress=False)
+
+    def destroy_entire_bucket(self) -> None:
+        """Destroy the bucket (the local single-bucket server maps this to
+        /clear; the hosted service removes the bucket entirely)."""
+        try:
+            self._api._post(self._api._url(self.name, "/destroy"), b"",
+                            compress=False)
+        except Exception:
+            self.clear_entire_bucket()
+
+    def rename(self, new_name: str) -> None:
+        self._api._post(self._api._url(self.name, "/modify"),
+                        json.dumps({"name": new_name}).encode(),
+                        compress=False)
+        self.name = new_name
+
     def to_secret_seed(self) -> str:
         return self._secret_seed
 

@@ -107,3 +107,7 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def cli():
+    sys.exit(main())

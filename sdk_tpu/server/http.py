@@ -160,3 +160,7 @@ def main(argv: list[str]):
 
 if __name__ == "__main__":
     main(sys.argv)
+
+
+def cli():
+    main(sys.argv)
