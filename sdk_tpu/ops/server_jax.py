@@ -265,10 +265,14 @@ class SpiralServerJax:
             q_arrs.append(q_arr)
             v_folds.append(v_folding)
             pps.append(pp_dev)
-        if not hasattr(self, "_jit_batched"):
-            self._jit_batched = jax.jit(self._scan_fold_batched_impl)
-        f_hi, f_lo = self._jit_batched(self.db, jnp.stack(q_arrs),
-                                       jnp.stack(v_folds))
+        if self._sharded is not None:
+            f_hi, f_lo = self._sharded.scan_fold_batched(
+                self.db, jnp.stack(q_arrs), jnp.stack(v_folds))
+        else:
+            if not hasattr(self, "_jit_batched"):
+                self._jit_batched = jax.jit(self._scan_fold_batched_impl)
+            f_hi, f_lo = self._jit_batched(self.db, jnp.stack(q_arrs),
+                                           jnp.stack(v_folds))
         out = []
         for i, pp_dev in enumerate(pps):
             p_hi, p_lo = self._jit_pack(f_hi[i], f_lo[i], pp_dev["v_packing"])

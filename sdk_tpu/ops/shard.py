@@ -25,7 +25,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map_new(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # older jax (pre-0.8): experimental API, check_rep kwarg
+    from jax.experimental.shard_map import shard_map
 
 from ..params import Params
 from . import spiral_jax as sj
@@ -53,6 +60,33 @@ def make_mesh(n_devices: int | None = None, dp: int | None = None):
     assert n % dp == 0
     arr = np.array(devs).reshape(dp, n // dp)
     return Mesh(arr, axis_names=("dp", "db"))
+
+
+def mesh_from_spec(spec: str) -> Mesh:
+    """Parse a serving-config mesh spec into a (dp, db) mesh.
+
+    Accepted forms: "8" (8 devices, all on the db axis), "db=8",
+    "dp=2,db=4", "dp=2" (db gets the rest of the devices).
+    """
+    spec = spec.strip()
+    if not spec:
+        raise ValueError("empty mesh spec")
+    axes: dict[str, int] = {}
+    if "=" not in spec:
+        axes["db"] = int(spec)
+    else:
+        for part in spec.split(","):
+            k, v = part.split("=")
+            k = k.strip()
+            if k not in ("dp", "db"):
+                raise ValueError(f"unknown mesh axis {k!r} (want dp/db)")
+            axes[k] = int(v)
+    dp = axes.get("dp", 1)
+    if "db" in axes:
+        n = dp * axes["db"]
+    else:
+        n = len(jax.devices())
+    return make_mesh(n, dp=dp)
 
 
 class ShardedSpiralScan:
@@ -94,6 +128,51 @@ class ShardedSpiralScan:
             return hi.reshape(shape), lo.reshape(shape)
 
         self.scan_fold = jax.jit(scan_fold)
+
+        # Batched multi-query scan: one sharded DB pass with 2*NQ MXU
+        # columns (composition of the query-batching pattern with the
+        # row-shard psum — SURVEY 2.8). NQ is static per trace; jit
+        # retraces per batch size.
+        q_batch_spec = P(None, None, None, "db", None)
+        out_batch_spec = (P(None, None, "dp"), P(None, None, "dp"))
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(db_spec, q_batch_spec, fold_spec),
+            out_specs=out_batch_spec, check_rep=False)
+        def scan_fold_batched(db, q_arrs, v_foldings):
+            params = self.params
+            nq = q_arrs.shape[0]
+            # (crt, z, dim0_local, 2*NQ)
+            q_wide = jnp.concatenate([q_arrs[i] for i in range(nq)], axis=-1)
+
+            def one_trial(db_slice):
+                partial = sj.firstdim_multiply(params, db_slice, q_wide)
+                full = jnp.stack([
+                    psum_mod(partial[c], q, "db")
+                    for c, q in enumerate(params.moduli)])
+                outs_h, outs_l = [], []
+                for i in range(nq):
+                    v_folding = v_foldings[i]
+                    v_folding_neg = sj.get_v_folding_neg(
+                        params, v_folding, self.gadget_ntt_u32)
+                    part = full[..., 2 * i : 2 * i + 2]
+                    cts = jnp.transpose(part, (2, 3, 0, 1))[:, :, None, :, :]
+                    hi, lo = sj.from_ntt(params, cts)
+                    h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
+                                               v_folding_neg)
+                    outs_h.append(h)
+                    outs_l.append(l)
+                return jnp.stack(outs_h), jnp.stack(outs_l)
+
+            it = db.reshape((-1,) + db.shape[2:])
+            hi, lo = jax.vmap(one_trial)(it)        # (T_local, NQ, 2, 1, z)
+            hi = jnp.swapaxes(hi, 0, 1)
+            lo = jnp.swapaxes(lo, 0, 1)             # (NQ, T_local, ...)
+            shape = (nq,) + db.shape[:2] + hi.shape[2:]
+            return hi.reshape(shape), lo.reshape(shape)
+
+        self.scan_fold_batched = jax.jit(scan_fold_batched)
 
     def shard_db(self, db):
         """Place a (inst, trials, crt, z, num_per, dim0) device array onto the

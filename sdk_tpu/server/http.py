@@ -8,6 +8,15 @@ Routes:
     POST /write         JSON {key: base64 value | null}
     POST /update-row    raw row chunks (u32 len BE | u32 idx BE | bytes)*
     POST /private-read  JSON list of base64 queries -> JSON list of base64
+    POST /modify        JSON {"name": ...} — rename the bucket
+    POST /destroy       destroy the bucket (subsequent requests 404)
+
+Serving config (env or CLI):
+    SDK_TPU_MESH / --mesh dp=2,db=4   serve from a sharded DB over a device
+                                      mesh (sdk_tpu.ops.shard)
+    SDK_TPU_BATCH_WINDOW_MS / --batch-window-ms N
+        coalesce /private-read requests arriving within N ms into one
+        batched DB scan (cross-request batching; default 0 = off)
 
 Usage: python -m sdk_tpu.server.http <port> [params.json | num_items_log2 item_size]
 """
@@ -18,13 +27,100 @@ import gzip
 import json
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ..params import Params, params_from_json
 from .kv_server import SpiralKvServer
 
 
-def make_handler(srv: SpiralKvServer):
+class ReadCoalescer:
+    """Cross-request batching window for /private-read.
+
+    Requests arriving within `window_s` of the first are merged into ONE
+    `process_queries_batched` call (one DB scan with 2*NQ MXU columns), so
+    concurrent independent clients get the batched aggregate throughput the
+    engine already provides within a single request body. Parse failures
+    (bad uuid, truncated query) stay per-request.
+    """
+
+    def __init__(self, srv: SpiralKvServer, window_s: float):
+        self.srv = srv
+        self.window_s = window_s
+        self._lock = threading.Lock()
+        self._pending: list[dict] = []
+        self._leader_active = False
+        self.stats = {"batches": 0, "requests": 0, "max_batch": 0}
+
+    def read_blobs(self, blobs: list[bytes]) -> list[bytes]:
+        if self.window_s <= 0:
+            return self.srv.private_read_blobs(blobs)
+        entry = {"blobs": blobs, "ev": threading.Event(),
+                 "res": None, "exc": None}
+        with self._lock:
+            self._pending.append(entry)
+            is_leader = not self._leader_active
+            if is_leader:
+                self._leader_active = True
+        if not is_leader:
+            entry["ev"].wait()
+            if entry["exc"] is not None:
+                raise entry["exc"]
+            return entry["res"]
+
+        time.sleep(self.window_s)
+        with self._lock:
+            batch = self._pending
+            self._pending = []
+            self._leader_active = False
+            self.stats["batches"] += 1
+            self.stats["requests"] += len(batch)
+            self.stats["max_batch"] = max(self.stats["max_batch"], len(batch))
+        srv = self.srv
+        try:
+            with srv.lock:
+                srv._flush()
+                parsed, slots = [], []
+                for e in batch:
+                    try:
+                        reqs = [srv._parse_request(b) for b in e["blobs"]]
+                    except Exception as ex:  # noqa: BLE001 — per-request
+                        e["exc"] = ex
+                        continue
+                    slots.append((e, len(parsed), len(reqs)))
+                    parsed.extend(reqs)
+                if parsed:
+                    try:
+                        results = srv.engine.process_queries_batched(parsed)
+                        for e, off, n in slots:
+                            e["res"] = results[off : off + n]
+                    except Exception as ex:  # noqa: BLE001
+                        for e, _, _ in slots:
+                            e["exc"] = ex
+        except BaseException as ex:  # never leave followers hanging
+            for e in batch:
+                if e["res"] is None and e["exc"] is None:
+                    e["exc"] = ex
+            raise
+        finally:
+            for e in batch:
+                if e is not entry:
+                    e["ev"].set()
+        if entry["exc"] is not None:
+            raise entry["exc"]
+        return entry["res"]
+
+    def read_body(self, body: bytes) -> bytes:
+        import base64
+
+        query_strs = json.loads(body)
+        results = self.read_blobs([base64.b64decode(qs) for qs in query_strs])
+        return json.dumps(
+            [base64.b64encode(r).decode() for r in results]).encode()
+
+
+def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
+    reader = coalescer or ReadCoalescer(srv, 0.0)
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -47,13 +143,18 @@ def make_handler(srv: SpiralKvServer):
 
         def do_GET(self):
             path = self.path.rstrip("/") or "/"
+            if srv.destroyed and path != "/":
+                self._send(404, b'{"error": "bucket destroyed"}')
+                return
             if path == "/":
                 self._send(200, f"Hello {srv.params.poly_len}!".encode(),
                            "text/plain")
             elif path == "/meta" or path.endswith("/meta"):
                 self._send(200, json.dumps(srv.meta()).encode())
             elif path.endswith("/metrics"):
-                self._send(200, json.dumps(srv.metrics()).encode())
+                m = srv.metrics()
+                m["read_coalescer"] = reader.stats
+                self._send(200, json.dumps(m).encode())
             elif path.endswith("/check"):
                 # /<uuid>/check — does the server hold this client's params
                 uid = path.split("/")[1]
@@ -76,6 +177,9 @@ def make_handler(srv: SpiralKvServer):
 
         def do_POST(self):
             path = self.path.rstrip("/")
+            if srv.destroyed:
+                self._send(404, b'{"error": "bucket destroyed"}')
+                return
             try:
                 body = self._body()
                 if path.endswith("/setup"):
@@ -90,10 +194,16 @@ def make_handler(srv: SpiralKvServer):
                         {"status": "done updating",
                          "largest_update": largest}).encode())
                 elif path.endswith("/private-read"):
-                    self._send(200, srv.private_read(body))
+                    self._send(200, reader.read_body(body))
                 elif path.endswith("/clear"):
                     srv.clear()
                     self._send(200, b'{"status": "cleared"}')
+                elif path.endswith("/modify"):
+                    srv.rename(json.loads(body)["name"])
+                    self._send(200, b'{"status": "modified"}')
+                elif path.endswith("/destroy"):
+                    srv.destroy()
+                    self._send(200, b'{"status": "destroyed"}')
                 else:
                     self._send(404, b'{"error": "not found"}')
             except KeyError:
@@ -104,8 +214,11 @@ def make_handler(srv: SpiralKvServer):
     return Handler
 
 
-def serve(srv: SpiralKvServer, port: int, block: bool = True):
-    httpd = ThreadingHTTPServer(("localhost", port), make_handler(srv))
+def serve(srv: SpiralKvServer, port: int, block: bool = True,
+          batch_window_ms: float = 0.0):
+    coalescer = ReadCoalescer(srv, batch_window_ms / 1000.0)
+    httpd = ThreadingHTTPServer(("localhost", port),
+                                make_handler(srv, coalescer))
     if block:
         print(f"Listening on {port}", flush=True)
         httpd.serve_forever()
@@ -136,26 +249,49 @@ def enable_jit_cache(path: str | None = None) -> None:
 def main(argv: list[str]):
     import os
 
+    # pull --mesh / --batch-window-ms out of argv (env vars as fallback)
+    mesh_spec = os.environ.get("SDK_TPU_MESH", "")
+    window_ms = float(os.environ.get("SDK_TPU_BATCH_WINDOW_MS", "0"))
+    args = []
+    i = 1
+    while i < len(argv):
+        if argv[i] == "--mesh":
+            mesh_spec = argv[i + 1]
+            i += 2
+        elif argv[i] == "--batch-window-ms":
+            window_ms = float(argv[i + 1])
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+
     if os.environ.get("SDK_TPU_FORCE_CPU"):
         # the axon TPU plugin overrides JAX_PLATFORMS env; force via config
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     enable_jit_cache()
-    port = int(argv[1]) if len(argv) > 1 else 8008
-    if len(argv) == 4:
+    port = int(args[0]) if args else 8008
+    if len(args) == 3:
         from ..params_store import get_params_from_store
-        params = get_params_from_store(int(argv[2]), int(argv[3]))
+        params = get_params_from_store(int(args[1]), int(args[2]))
         params_json = None
-    elif len(argv) == 3:
-        with open(argv[2]) as f:
+    elif len(args) == 2:
+        with open(args[1]) as f:
             params_json = f.read()
         params = params_from_json(params_json)
     else:
         params_json = DEFAULT_CFG
         params = params_from_json(params_json)
-    srv = SpiralKvServer(params, params_json)
-    serve(srv, port)
+
+    mesh = None
+    if mesh_spec:
+        from ..ops.shard import mesh_from_spec
+
+        mesh = mesh_from_spec(mesh_spec)
+        print(f"Serving over mesh {dict(mesh.shape)}", flush=True)
+    srv = SpiralKvServer(params, params_json, mesh=mesh)
+    serve(srv, port, batch_window_ms=window_ms)
 
 
 if __name__ == "__main__":

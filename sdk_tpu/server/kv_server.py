@@ -28,11 +28,13 @@ class SpiralKvServer:
     """One bucket: Spiral params + rows + encrypted index on device."""
 
     def __init__(self, params: Params, params_json: str | None = None,
-                 key_storage_policy: str = "bloom"):
+                 key_storage_policy: str = "bloom", mesh=None):
         import jax.numpy as jnp
 
         self.params = params
         self.params_json = params_json or json.dumps(params_to_json_obj(params))
+        self.name = ""
+        self.destroyed = False
         self.rows: list[bytearray] = [bytearray() for _ in range(params.num_items())]
         self.pub_params: dict[str, dict] = {}
         self.version = 0
@@ -49,12 +51,19 @@ class SpiralKvServer:
             bits = params.db_dim_1 + params.db_dim_2 + 6
             self._key_bloom = BloomFilter.empty(8, bits)
 
-        self.engine = SpiralServerJax(params)
+        # mesh: a jax.sharding.Mesh with axes (dp, db) — serve from a
+        # row-sharded DB with psum partial-response reduction over ICI
+        # (sdk_tpu.ops.shard; the production shape of the reference's
+        # per-instance parallelism, lib/server/src/server.rs:53-96).
+        self.engine = SpiralServerJax(params, mesh=mesh)
         dim0 = 1 << params.db_dim_1
         num_per = 1 << params.db_dim_2
-        self.engine.db = jnp.zeros(
+        db0 = jnp.zeros(
             (params.instances, params.n * params.n, params.crt_count,
              params.poly_len, num_per, dim0), dtype=jnp.uint32)
+        if self.engine._sharded is not None:
+            db0 = self.engine._sharded.shard_db(db0)
+        self.engine.db = db0
         self._updates = DbUpdateBuffer(params)
 
     # --- writes ---
@@ -111,7 +120,11 @@ class SpiralKvServer:
         return largest
 
     def _flush(self):
-        self.engine.db = self._updates.flush(self.engine.db)
+        db = self._updates.flush(self.engine.db)
+        if db is not self.engine.db and self.engine._sharded is not None:
+            # the scatter may not preserve the NamedSharding; re-pin
+            db = self.engine._sharded.shard_db(db)
+        self.engine.db = db
 
     # --- setup / read ---
 
@@ -152,16 +165,20 @@ class SpiralKvServer:
             pp_dev, query = self._parse_request(request_bytes)
             return self.engine.process_query(pp_dev, query)
 
+    def private_read_blobs(self, blobs: list[bytes]) -> list[bytes]:
+        """Raw request blobs -> response bytes; one fused DB scan."""
+        with self.lock:
+            self._flush()
+            reqs = [self._parse_request(b) for b in blobs]
+            return self.engine.process_queries_batched(reqs)
+
     def private_read(self, body: bytes) -> bytes:
         """JSON list of base64 queries -> JSON list of base64 responses
         (bin/server.rs:143-163). Multi-query requests share one DB scan
         (batched MXU columns)."""
         query_strs = json.loads(body)
-        with self.lock:
-            self._flush()
-            reqs = [self._parse_request(base64.b64decode(qs))
-                    for qs in query_strs]
-            results = self.engine.process_queries_batched(reqs)
+        results = self.private_read_blobs(
+            [base64.b64decode(qs) for qs in query_strs])
         out = [base64.b64encode(r).decode() for r in results]
         return json.dumps(out).encode()
 
@@ -183,7 +200,10 @@ class SpiralKvServer:
         with self.lock:
             for r in self.rows:
                 r.clear()
-            self.engine.db = jnp.zeros_like(self.engine.db)
+            db0 = jnp.zeros_like(self.engine.db)
+            if self.engine._sharded is not None:
+                db0 = self.engine._sharded.shard_db(db0)
+            self.engine.db = db0
             self._updates.pending.clear()
             self._stored_keys.clear()
             if self._key_bloom is not None:
@@ -193,10 +213,24 @@ class SpiralKvServer:
                     self._key_bloom.k, self._key_bloom.bits)
             self.version += 1
 
+    def rename(self, new_name: str) -> None:
+        """Bucket rename (reference /modify route, js bucket.ts rename)."""
+        with self.lock:
+            self.name = new_name
+
+    def destroy(self) -> None:
+        """Destroy the bucket entirely: all state gone, subsequent requests
+        404 (reference destroy_entire_bucket semantics — the hosted service
+        removes the bucket; this single-bucket server tombstones it)."""
+        with self.lock:
+            self.clear()
+            self.pub_params.clear()
+            self.destroyed = True
+
     def meta(self) -> dict:
         return {
             "id": 0,
-            "name": "",
+            "name": self.name,
             "owner_id": 0,
             "open_access": True,
             "pir_scheme": json.loads(self.params_json),
@@ -243,7 +277,10 @@ class SpiralKvServer:
             db = np.load(os.path.join(path, "db_tensor.npy"))
             assert db.shape == self.engine.db.shape, (
                 db.shape, self.engine.db.shape)
-            self.engine.db = jnp.asarray(db)
+            db_dev = jnp.asarray(db)
+            if self.engine._sharded is not None:
+                db_dev = self.engine._sharded.shard_db(db_dev)
+            self.engine.db = db_dev
             with open(os.path.join(path, "rows.pkl"), "rb") as f:
                 self.rows = [bytearray(r) for r in pickle.load(f)]
             with open(os.path.join(path, "state.json")) as f:
