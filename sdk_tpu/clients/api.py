@@ -23,6 +23,10 @@ READ_PATH = "/private-read"
 CHECK_PATH = "/check"
 BLOOM_PATH = "/bloom"
 
+# bodies above this go via the presigned-upload flow instead of inline JSON
+# (APIGW 6 MB limit, base64 factor + 5% margin — reference python/blyss/api.py:32)
+APIGW_MAX_SIZE = int(6e6 / (4 / 3) * 0.95)
+
 
 class ApiError(Exception):
     def __init__(self, message: str, code: int):
@@ -44,10 +48,13 @@ class API:
         return h
 
     def _get(self, url: str) -> Any:
+        return json.loads(self._get_raw(url))
+
+    def _get_raw(self, url: str) -> bytes:
         req = urllib.request.Request(url, headers=self._headers())
         try:
             with urllib.request.urlopen(req) as r:
-                return json.loads(r.read())
+                return r.read()
         except urllib.error.HTTPError as e:
             raise ApiError(e.read().decode(errors="replace"), e.code) from None
 
@@ -88,9 +95,48 @@ class API:
         except ApiError:
             return False
 
+    def _post_form_data(self, url: str, fields: dict, data: bytes) -> None:
+        """multipart/form-data POST — the presigned-upload payload leg
+        (reference js/client/api.ts:150-178 postFormData)."""
+        import uuid as _uuid
+
+        boundary = "----sdktpu" + _uuid.uuid4().hex
+        parts = []
+        for k, v in fields.items():
+            parts.append(
+                (f"--{boundary}\r\nContent-Disposition: form-data; "
+                 f'name="{k}"\r\n\r\n{v}\r\n').encode())
+        parts.append(
+            (f"--{boundary}\r\nContent-Disposition: form-data; "
+             f'name="file"; filename="file"\r\n'
+             f"Content-Type: application/octet-stream\r\n\r\n").encode())
+        body = b"".join(parts) + data + f"\r\n--{boundary}--\r\n".encode()
+        headers = self._headers()
+        headers["Content-Type"] = f"multipart/form-data; boundary={boundary}"
+        req = urllib.request.Request(url, data=body, headers=headers)
+        try:
+            with urllib.request.urlopen(req) as r:
+                r.read()
+        except urllib.error.HTTPError as e:
+            raise ApiError(e.read().decode(errors="replace"), e.code) from None
+
+    def setup_presigned(self, bucket_name: str, data: bytes) -> str:
+        """Large-payload setup: prelim {"length": N} -> presigned URL ->
+        multipart upload (reference api.rs:149-186, js api.ts:303-324)."""
+        body = json.dumps({"length": len(data)}).encode()
+        r = self._post(self._url(bucket_name, SETUP_PATH), body,
+                       compress=False)
+        url = r["url"]
+        if url.startswith("/"):   # local emulation returns a relative slot
+            url = self.endpoint + url
+        self._post_form_data(url, r.get("fields", {}), data)
+        return r["uuid"]
+
     def setup(self, bucket_name: str, data: bytes) -> str:
         import base64
 
+        if len(data) > APIGW_MAX_SIZE:
+            return self.setup_presigned(bucket_name, data)
         body = json.dumps(base64.b64encode(data).decode()).encode()
         r = self._post(self._url(bucket_name, SETUP_PATH), body, compress=False)
         return r["uuid"]

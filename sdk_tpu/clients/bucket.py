@@ -65,10 +65,23 @@ class Bucket:
                                f"{self.scheme} bucket")
 
     def _load_dp_hint(self) -> None:
-        if not self._dp_hint_loaded:
+        if self._dp_hint_loaded:
+            return
+        scheme_obj = self._metadata["pir_scheme"]
+        hint_bytes = int(scheme_obj.get("hint_bytes", 0))
+        chunk_bytes = int(scheme_obj.get("hint_chunk_bytes", 0))
+        if hint_bytes and chunk_bytes and hint_bytes > chunk_bytes:
+            # chunked raw download (reference hint-CDN pattern,
+            # bucket_service.ts:21-23): cacheable fixed-size pieces
+            n = (hint_bytes + chunk_bytes - 1) // chunk_bytes
+            parts = [self._api._get_raw(
+                self._api._url(self.name, f"/hint/chunk/{i}"))
+                for i in range(n)]
+            self._dp.load_hint(b"".join(parts))
+        else:
             r = self._api._get(self._api._url(self.name, "/hint"))
             self._dp.load_hint(base64.b64decode(r["hint"]))
-            self._dp_hint_loaded = True
+        self._dp_hint_loaded = True
 
     def check_inclusion(self, key: str) -> bool:
         """Private membership check via batched DoublePIR bloom-bit reads

@@ -113,6 +113,50 @@ class Db:
         db.data = db.data - U32(params.p // 2)
         return db
 
+    @staticmethod
+    def from_packed_bits(num_entries: int, params: Params,
+                         bit_bytes: np.ndarray) -> "Db":
+        """1-bit entries from an LSB-first packed bitarray — the checklist
+        bloom store's native layout. Streams the element build in bounded
+        chunks instead of materializing a per-entry Python list, so the
+        production-scale config (2^30+ bits; reference
+        js/bridge/src/doublepir_lib.rs:118-129) fits in host memory.
+
+        Bit-exact vs from_entries(num_entries, 1, params, bits)."""
+        info = DbInfo.new(num_entries, 1, params)
+        P = info.packing
+        assert P > 0, "1-bit entries always pack"
+        n_elems = (num_entries + P - 1) // P
+        assert n_elems <= params.l * params.m
+        data = np.zeros((params.l, params.m), dtype=U32)
+        flat = data.reshape(-1)
+        if P == 8:
+            # one element per byte: the packed-byte value IS the element
+            # (LSB-first 8-bit groups) — the production config's case (p=464)
+            nbytes = (num_entries + 7) // 8
+            flat[:n_elems] = bit_bytes[:nbytes]
+        else:
+            weights = np.uint32(1) << np.arange(P, dtype=np.uint32)
+            chunk_elems = 1 << 21
+            for start in range(0, n_elems, chunk_elems):
+                cnt = min(chunk_elems, n_elems - start)
+                bit_lo = start * P
+                bit_hi = min(num_entries, (start + cnt) * P)
+                byte_lo = bit_lo // 8
+                byte_hi = (bit_hi + 7) // 8
+                bits = np.unpackbits(bit_bytes[byte_lo:byte_hi],
+                                     bitorder="little")
+                off = bit_lo - byte_lo * 8
+                seg = np.zeros(cnt * P, dtype=np.uint8)
+                avail = min(cnt * P, len(bits) - off, bit_hi - bit_lo)
+                seg[:avail] = bits[off : off + avail]
+                flat[start : start + cnt] = (
+                    seg.reshape(cnt, P).astype(np.uint32) * weights
+                ).sum(axis=1, dtype=np.uint32)
+        db = Db(info, data)
+        db.data = db.data - U32(params.p // 2)
+        return db
+
     def num_rows(self) -> int:
         return self.data.shape[0]
 

@@ -22,11 +22,20 @@ from ..doublepir.params import LOGQ, SEC_PARAM, Params, pick_params
 from ..doublepir.serializer import deserialize_states, serialize_state
 
 BLOOM_K = 8
+HINT_CHUNK_BYTES = 4 * 2 ** 20   # hint served in cacheable 4 MiB chunks
+                                 # (reference hint-CDN pattern,
+                                 #  js/bucket/bucket_service.ts:21-23)
 
 
 class DoublePirKvServer:
     """Checklist bucket: build a bloom-bit DB from keys, answer batched
-    DoublePIR queries."""
+    DoublePIR queries.
+
+    The bloom store is a packed bitarray (1 bit per slot, LSB-first) and
+    the DB build streams straight from it (Db.from_packed_bits), so the
+    production config — 2^30..2^36 bits, reference
+    js/bridge/src/doublepir_lib.rs:118-129 — runs with bounded host memory.
+    """
 
     def __init__(self, log2m: int, params: Params | None = None,
                  matmul_u32_fn=None, use_device: bool = False):
@@ -34,7 +43,8 @@ class DoublePirKvServer:
         self.num_entries = 1 << log2m
         self.params = params or pick_params(self.num_entries, 1, SEC_PARAM,
                                             LOGQ, lower_bound_m=1)
-        self.bits = np.zeros(self.num_entries, dtype=np.uint8)
+        self.bit_bytes = np.zeros(max(1, self.num_entries >> 3),
+                                  dtype=np.uint8)
         self.keys: set[str] = set()
         self.version = 0
         self.lock = threading.RLock()
@@ -49,33 +59,71 @@ class DoublePirKvServer:
         self.db: Db | None = None
         self.server_state: list = []
         self.hint: list = []
+        self._hint_bytes: bytes | None = None
         self.shared_state: list | None = None
         self._dirty = True
 
     def add_keys(self, keys: list[str]) -> None:
         with self.lock:
+            idxs = []
             for k in keys:
                 self.keys.add(k)
                 for i in range(BLOOM_K):
-                    self.bits[bloom_hash(k, i, self.log2m)] = 1
+                    idxs.append(bloom_hash(k, i, self.log2m))
+            if idxs:
+                ia = np.asarray(idxs, dtype=np.int64)
+                np.bitwise_or.at(self.bit_bytes, ia >> 3,
+                                 (np.uint8(1) << (ia & 7).astype(np.uint8)))
             self.version += 1
+            self._dirty = True
+
+    def set_bit(self, idx: int) -> None:
+        """Direct bit insert (bulk ingestion path, no key tracking)."""
+        with self.lock:
+            self.bit_bytes[idx >> 3] |= np.uint8(1 << (idx & 7))
             self._dirty = True
 
     def _rebuild(self) -> None:
         if not self._dirty:
             return
-        self.db = Db.from_entries(self.num_entries, 1, self.params,
-                                  self.bits.tolist())
+        self.db = Db.from_packed_bits(self.num_entries, self.params,
+                                      self.bit_bytes)
         if self.shared_state is None:
             self.shared_state = scheme.init(self.db.info, self.params)
         self.server_state, self.hint = scheme.setup(
             self.db, self.shared_state, self.params, self._matmul)
+        if self._kernels is not None:
+            # keep the squished DB and H1 device-resident: answer-path
+            # matvecs slice them on device instead of re-uploading per
+            # request (scheme.answer works on either array type)
+            import jax.numpy as jnp
+
+            self.db.data = jnp.asarray(self.db.data)
+            self.server_state[0] = jnp.asarray(self.server_state[0])
+        self._hint_bytes = serialize_state(self.hint)
         self._dirty = False
 
     def get_hint(self) -> bytes:
         with self.lock:
             self._rebuild()
-            return serialize_state(self.hint)
+            return self._hint_bytes
+
+    def hint_meta(self) -> dict:
+        with self.lock:
+            self._rebuild()
+            n = len(self._hint_bytes)
+            return {"hint_bytes": n, "hint_chunk_bytes": HINT_CHUNK_BYTES,
+                    "hint_num_chunks":
+                        (n + HINT_CHUNK_BYTES - 1) // HINT_CHUNK_BYTES,
+                    "version": self.version}
+
+    def hint_chunk(self, i: int) -> bytes:
+        with self.lock:
+            self._rebuild()
+            start = i * HINT_CHUNK_BYTES
+            if start >= len(self._hint_bytes) or i < 0:
+                raise KeyError(i)
+            return self._hint_bytes[start : start + HINT_CHUNK_BYTES]
 
     def answer(self, query_bytes: bytes) -> bytes:
         with self.lock:
@@ -100,6 +148,8 @@ class DoublePirKvServer:
                     "num_entries": str(self.num_entries),
                     "bloom_k": BLOOM_K,
                     "bloom_log2m": self.log2m,
+                    "hint_bytes": len(self._hint_bytes),
+                    "hint_chunk_bytes": HINT_CHUNK_BYTES,
                 },
                 "global_version": self.version,
             }
@@ -125,6 +175,15 @@ def make_doublepir_handler(srv: DoublePirKvServer):
             path = self.path.rstrip("/") or "/"
             if path.endswith("/meta"):
                 self._send(200, json.dumps(srv.meta()).encode())
+            elif path.endswith("/hint-meta"):
+                self._send(200, json.dumps(srv.hint_meta()).encode())
+            elif "/hint/chunk/" in path:
+                try:
+                    i = int(path.rsplit("/", 1)[1])
+                    self._send(200, srv.hint_chunk(i),
+                               "application/octet-stream")
+                except (KeyError, ValueError):
+                    self._send(404, b'{"error": "no such hint chunk"}')
             elif path.endswith("/hint"):
                 self._send(200, json.dumps(
                     {"hint": base64.b64encode(srv.get_hint()).decode()}).encode())

@@ -119,8 +119,31 @@ class ReadCoalescer:
             [base64.b64encode(r).decode() for r in results]).encode()
 
 
+def parse_multipart_file(content_type: str, body: bytes) -> bytes:
+    """Extract the 'file' field from a multipart/form-data body (the shape
+    postFormData sends to a presigned URL, reference js/client/api.ts:150-178)."""
+    for piece in content_type.split(";"):
+        piece = piece.strip()
+        if piece.startswith("boundary="):
+            boundary = piece[len("boundary="):].strip('"').encode()
+            break
+    else:
+        raise ValueError("multipart body without boundary")
+    for part in body.split(b"--" + boundary):
+        if b"\r\n\r\n" not in part:
+            continue
+        head, _, payload = part.partition(b"\r\n\r\n")
+        if b'name="file"' in head:
+            return payload.removesuffix(b"\r\n")
+    raise ValueError("multipart body has no 'file' field")
+
+
 def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
     reader = coalescer or ReadCoalescer(srv, 0.0)
+    # presigned-upload emulation (reference api.rs:149-186): prelim /setup
+    # with {"length": N} reserves a token; the payload arrives as a
+    # multipart POST to /upload/<token>
+    pending_uploads: dict[str, dict] = {}
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -183,8 +206,45 @@ def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
             try:
                 body = self._body()
                 if path.endswith("/setup"):
-                    uid = srv.setup(body)
-                    self._send(200, json.dumps({"uuid": uid}).encode())
+                    prelim = None
+                    if len(body) < 1024:
+                        try:
+                            parsed = json.loads(body)
+                            if isinstance(parsed, dict) and "length" in parsed:
+                                prelim = parsed
+                        except ValueError:
+                            pass
+                    if prelim is not None:
+                        # presigned-upload flow: reserve uuid + upload slot
+                        import uuid as _uuid
+
+                        uid = str(_uuid.uuid4())
+                        token = _uuid.uuid4().hex
+                        pending_uploads[token] = {
+                            "uuid": uid, "length": int(prelim["length"])}
+                        self._send(200, json.dumps({
+                            "uuid": uid, "url": f"/upload/{token}",
+                            "fields": {"key": token}}).encode())
+                    else:
+                        uid = srv.setup(body)
+                        self._send(200, json.dumps({"uuid": uid}).encode())
+                elif "/upload/" in path:
+                    token = path.rsplit("/", 1)[1]
+                    slot = pending_uploads.pop(token, None)
+                    if slot is None:
+                        self._send(404, b'{"error": "unknown upload token"}')
+                        return
+                    raw = parse_multipart_file(
+                        self.headers.get("Content-Type", ""), body)
+                    if len(raw) != slot["length"]:
+                        self._send(400, json.dumps(
+                            {"error": f"upload length mismatch: got "
+                                      f"{len(raw)}, promised {slot['length']}"}
+                        ).encode())
+                        return
+                    srv.setup_raw(raw, uid=slot["uuid"])
+                    self._send(200, json.dumps(
+                        {"uuid": slot["uuid"]}).encode())
                 elif path.endswith("/write"):
                     resp = srv.write_kv(body)
                     self._send(200, json.dumps(resp).encode())

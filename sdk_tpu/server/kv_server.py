@@ -128,16 +128,18 @@ class SpiralKvServer:
 
     # --- setup / read ---
 
-    def setup(self, body: bytes) -> str:
-        """body: JSON string of base64 public params; returns uuid."""
-        pp_b64 = json.loads(body)
-        raw = base64.b64decode(pp_b64)
+    def setup_raw(self, raw: bytes, uid: str | None = None) -> str:
         assert len(raw) == self.params.setup_bytes()
         pp = PublicParameters.deserialize(self.params, raw)
-        uid = str(uuidlib.uuid4())
+        uid = uid or str(uuidlib.uuid4())
         with self.lock:
             self.pub_params[uid] = pp_to_device(self.params, pp)
         return uid
+
+    def setup(self, body: bytes) -> str:
+        """body: JSON string of base64 public params; returns uuid."""
+        pp_b64 = json.loads(body)
+        return self.setup_raw(base64.b64decode(pp_b64))
 
     def has_uuid(self, uid: str) -> bool:
         return uid in self.pub_params
