@@ -71,6 +71,8 @@ class SpiralServerJax:
     def __init__(self, params: Params, mesh=None):
         self.params = params
         self.plan = sj.ExpansionPlan(params) if params.expand_queries else None
+        self._splan = None
+        self._splan_dev = None
         g = hpoly.to_ntt(params, hpoly.build_gadget(params, 2, 2 * params.t_gsw))
         self.gadget_ntt_u32 = g.astype(np.uint32)
         self.db = None
@@ -99,6 +101,27 @@ class SpiralServerJax:
         if self._sharded is not None:
             self.db = self._sharded.shard_db(self.db)
 
+    def set_populated_dim0(self, populated) -> None:
+        """Enable compacted sparse query expansion: only the ciphertexts
+        whose first-dim DB indices appear in `populated` are expanded
+        (reference per-round skip sets, query_expansion.rs:213-248, rebuilt
+        as a gather-compacted schedule — see sj.SparseExpansionPlan).
+        Pass None (or a full set) to restore dense expansion."""
+        params = self.params
+        if populated is None or not params.expand_queries:
+            self._splan = self._splan_dev = None
+            return
+        pop = sorted({int(i) for i in populated})
+        dim0 = 1 << params.db_dim_1
+        if not pop or len(pop) == dim0:
+            self._splan = self._splan_dev = None
+            return
+        right = params.t_gsw * params.db_dim_2
+        self._splan = sj.SparseExpansionPlan(params, pop, right)
+        self._splan_dev = self._splan.device_args()
+        if not hasattr(self, "_jit_expand_sparse"):
+            self._jit_expand_sparse = jax.jit(self._expand_sparse_impl)
+
     # -- traced stages --
 
     def _expand_impl(self, ct0_hi, ct0_lo, v_exp_left, v_exp_right, v_conv):
@@ -119,6 +142,31 @@ class SpiralServerJax:
                 dtype=U32)
         # firstdim layout: (crt, poly_len, dim0, 2)
         q_arr = jnp.transpose(v_reg[:, :, 0], (2, 3, 0, 1))
+        return q_arr, v_folding
+
+    def _expand_sparse_impl(self, ct0_hi, ct0_lo, v_exp_left, v_exp_right,
+                            v_conv, *sched_args):
+        params = self.params
+        ct0 = sj.to_ntt(params, ct0_hi, ct0_lo)
+        leaves, even_leaf_pos, even_dim0_idx, odd_leaf_pos = \
+            sj.coefficient_expansion_sparse(params, self.plan, self._splan,
+                                            ct0, v_exp_left, v_exp_right,
+                                            sched_args)
+        dim0 = 1 << params.db_dim_1
+        v_reg = jnp.take(leaves, even_leaf_pos, axis=0)   # (P, 2, 1, crt, n)
+        vals = jnp.transpose(v_reg[:, :, 0], (2, 3, 0, 1))  # (crt, n, P, 2)
+        q_arr = jnp.zeros((params.crt_count, params.poly_len, dim0, 2),
+                          dtype=U32)
+        # padded scatter indices equal dim0 (out of bounds) and drop;
+        # unpopulated columns stay zero, which the zero DB rows ignore
+        q_arr = q_arr.at[:, :, even_dim0_idx, :].set(vals, mode="drop")
+        if params.db_dim_2 > 0:
+            v_gsw_inp = jnp.take(leaves, odd_leaf_pos, axis=0)
+            v_folding = sj.regev_to_gsw(params, v_gsw_inp, v_conv)
+        else:
+            v_folding = jnp.zeros(
+                (0, 2, 2 * params.t_gsw, params.crt_count, params.poly_len),
+                dtype=U32)
         return q_arr, v_folding
 
     def _scan_fold_impl(self, db, q_arr, v_folding):
@@ -158,6 +206,11 @@ class SpiralServerJax:
     def expand_query(self, pp_dev: dict, query: Query):
         params = self.params
         ct_hi, ct_lo = _split_pair_np(query.ct)
+        if self._splan is not None:
+            return self._jit_expand_sparse(
+                jnp.asarray(ct_hi), jnp.asarray(ct_lo),
+                pp_dev["v_exp_left"], pp_dev["v_exp_right"],
+                pp_dev["v_conversion"], *self._splan_dev)
         q_arr, v_folding = self._jit_expand(
             jnp.asarray(ct_hi), jnp.asarray(ct_lo),
             pp_dev["v_exp_left"], pp_dev["v_exp_right"], pp_dev["v_conversion"])
@@ -191,10 +244,12 @@ class SpiralServerJax:
 
     def process_query(self, pp: PublicParameters | dict, query: Query) -> bytes:
         from ..telemetry import GLOBAL_TIMERS as T
+        from ..debug_hooks import check_folded_ct, client_test_active
 
         params = self.params
         pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
-        if params.expand_queries and self._sharded is None:
+        if (params.expand_queries and self._sharded is None
+                and self._splan is None and not client_test_active()):
             # fused single-dispatch path
             with T.stage("query_fused"):
                 if not hasattr(self, "_jit_full"):
@@ -212,6 +267,11 @@ class SpiralServerJax:
         with T.stage("scan_fold"):
             f_hi, f_lo = self._jit_scan_fold(self.db, q_arr, v_folding)
             f_hi.block_until_ready()
+        if client_test_active():
+            # decrypt the instance-0/trial-0 folded ct mid-pipeline to
+            # localize noise failures (reference server.rs:713-729)
+            ct = _join_pair_np(np.asarray(f_hi[0, 0]), np.asarray(f_lo[0, 0]))
+            check_folded_ct(params, ct)
         with T.stage("pack"):
             p_hi, p_lo = self._jit_pack(f_hi, f_lo, pp_dev["v_packing"])
             packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))

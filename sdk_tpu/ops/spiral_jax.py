@@ -348,6 +348,175 @@ def coefficient_expansion(params: Params, plan: ExpansionPlan, ct0,
     return cts
 
 
+def _next_pow2(x: int, lo: int = 4) -> int:
+    n = lo
+    while n < x:
+        n *= 2
+    return n
+
+
+class SparseExpansionPlan:
+    """Compacted expansion schedule for a populated-index set.
+
+    The reference only expands ciphertexts whose first-dim DB indices are
+    populated (per-round skip sets, query_expansion.rs:213-248
+    to_per_round_set). A dense TPU batch can't skip FLOPs with masks, so the
+    schedule is rebuilt as gathers over a *compacted* live set: round r
+    processes only the ancestors of needed leaves, giving O(g * populated)
+    work instead of O(2^g). Needed leaves are {2i : i populated} on the
+    Regev side plus the first t_gsw*db_dim_2 odd (GSW) leaves.
+
+    All capacities are quantized to powers of two so the jitted program only
+    recompiles when the population crosses a capacity bucket; the index
+    arrays themselves are traced arguments, not baked-in constants.
+    """
+
+    def __init__(self, params: Params, populated_dim0,
+                 max_bits_to_gen_right: int):
+        g = params.g()
+        stop_round = params.stop_round() if params.db_dim_2 > 0 else 0
+        dim0 = 1 << params.db_dim_1
+        pop = sorted({int(i) for i in populated_dim0})
+        assert pop and pop[-1] < dim0
+        self.params = params
+        self.populated = pop
+
+        # needed[r] = entries (indices in [0, 2^(r+1))) whose value after
+        # round r feeds a used leaf (to_per_round_set propagation). With
+        # further dims the Regev leaves sit at even indices; without, they
+        # are contiguous (reference query_expansion.rs:322-342).
+        stride = 2 if params.db_dim_2 > 0 else 1
+        needed = [set() for _ in range(g)]
+        for i in pop:
+            needed[g - 1].add(stride * i)
+        if params.db_dim_2 > 0:
+            for i in range(max_bits_to_gen_right):
+                needed[g - 1].add(2 * i + 1)
+        for r in range(g - 2, -1, -1):
+            sz = 1 << (r + 1)
+            for e in range(sz):
+                if e in needed[r + 1] or (e + sz) in needed[r + 1]:
+                    needed[r].add(e)
+
+        def update_ok(r: int, e: int) -> bool:
+            if stop_round > 0 and r > stop_round and (e % 2) == 1:
+                return False
+            if (stop_round > 0 and r == stop_round and (e % 2) == 1
+                    and (e // 2) >= max_bits_to_gen_right):
+                return False
+            return True
+
+        self.rounds = []
+        live_prev = [0]
+        for r in range(g):
+            live = sorted(needed[r])
+            pos_prev = {e: k for k, e in enumerate(live_prev)}
+            cap = _next_pow2(len(live))
+            parent_pos = np.zeros(cap, dtype=np.int32)
+            neg_mask = np.zeros(cap, dtype=bool)
+            for k, e in enumerate(live):
+                parent_pos[k] = pos_prev[e % (1 << r)]
+                neg_mask[k] = e >= (1 << r)
+            # parity groups among entries to update (left key iff r>0 and
+            # even, reference query_expansion.rs:85-99; r==0 all right)
+            ev = [k for k, e in enumerate(live) if update_ok(r, e)
+                  and r > 0 and e % 2 == 0]
+            od = [k for k, e in enumerate(live) if update_ok(r, e)
+                  and not (r > 0 and e % 2 == 0)]
+            cap_e = _next_pow2(len(ev), lo=1) if ev else 0
+            cap_o = _next_pow2(len(od), lo=1) if od else 0
+            # exact-capacity arrays: a 0-cap group must have shape (0,) so
+            # jit retraces when a group appears/disappears
+            even_sel = np.zeros(cap_e, dtype=np.int32)
+            odd_sel = np.zeros(cap_o, dtype=np.int32)
+            even_sel[: len(ev)] = ev
+            odd_sel[: len(od)] = od
+            # combine: src_sel into concat([E(cap_e), O(cap_o), base(cap)])
+            src_sel = np.zeros(cap, dtype=np.int32)
+            for k in range(cap):
+                src_sel[k] = cap_e + cap_o + k     # default: carried base
+            for j, k in enumerate(ev):
+                src_sel[k] = j
+            for j, k in enumerate(od):
+                src_sel[k] = cap_e + j
+            self.rounds.append(dict(
+                parent_pos=parent_pos, neg_mask=neg_mask,
+                even_sel=even_sel, odd_sel=odd_sel,
+                cap_e=cap_e, cap_o=cap_o, src_sel=src_sel))
+            live_prev = live
+
+        # output stage: leaf positions within the final compact array
+        leaf_pos = {e: k for k, e in enumerate(live_prev)}
+        self.even_leaf_pos = np.array([leaf_pos[stride * i] for i in pop],
+                                      dtype=np.int32)
+        self.even_dim0_idx = np.array(pop, dtype=np.int32)
+        cap_p = _next_pow2(len(pop))
+        pad = cap_p - len(pop)
+        if pad:
+            self.even_leaf_pos = np.concatenate(
+                [self.even_leaf_pos, np.zeros(pad, dtype=np.int32)])
+            # out-of-bounds scatter indices are dropped (mode="drop")
+            self.even_dim0_idx = np.concatenate(
+                [self.even_dim0_idx,
+                 np.full(pad, dim0, dtype=np.int32)])
+        self.odd_leaf_pos = np.array(
+            [leaf_pos[2 * i + 1] for i in range(max_bits_to_gen_right)]
+            if params.db_dim_2 > 0 else [], dtype=np.int32)
+
+    def signature(self):
+        """Static shape signature — recompile only when this changes."""
+        return tuple((r["parent_pos"].shape[0], r["cap_e"], r["cap_o"])
+                     for r in self.rounds) + (self.even_leaf_pos.shape[0],)
+
+    def device_args(self):
+        """Flat tuple of index arrays to pass through jit as traced args."""
+        out = []
+        for r in self.rounds:
+            out.append(jnp.asarray(r["parent_pos"]))
+            out.append(jnp.asarray(r["neg_mask"]))
+            out.append(jnp.asarray(r["even_sel"]))
+            out.append(jnp.asarray(r["odd_sel"]))
+            out.append(jnp.asarray(r["src_sel"]))
+        out.append(jnp.asarray(self.even_leaf_pos))
+        out.append(jnp.asarray(self.even_dim0_idx))
+        out.append(jnp.asarray(self.odd_leaf_pos))
+        return tuple(out)
+
+
+def coefficient_expansion_sparse(params: Params, plan: ExpansionPlan,
+                                 splan: SparseExpansionPlan, ct0,
+                                 v_w_left, v_w_right, sched_args):
+    """Compacted expansion. ct0: (2, 1, crt, n). Returns
+    (leaves, even_leaf_pos, even_dim0_idx, odd_leaf_pos) where leaves is the
+    final compact array (cap, 2, 1, crt, n)."""
+    g = params.g()
+    args = list(sched_args)
+    cts = ct0[None]
+    for r in range(g):
+        parent_pos, neg_mask, even_sel, odd_sel, src_sel = args[5 * r: 5 * r + 5]
+        rd = splan.rounds[r]
+        t_tables = plan.auto[r]
+        base = jnp.take(cts, parent_pos, axis=0)
+        neg = scalar_mulmod(params, jnp.asarray(plan.neg1[r]), base)
+        m = neg_mask.reshape((-1,) + (1,) * (base.ndim - 1))
+        base = jnp.where(m, neg, base)
+        pieces = []
+        if rd["cap_e"]:
+            ev = _expansion_round_update(
+                params, jnp.take(base, even_sel, axis=0), v_w_left[r],
+                t_tables, np.ones(rd["cap_e"], dtype=bool))
+            pieces.append(ev)
+        if rd["cap_o"]:
+            od = _expansion_round_update(
+                params, jnp.take(base, odd_sel, axis=0), v_w_right[r],
+                t_tables, np.ones(rd["cap_o"], dtype=bool))
+            pieces.append(od)
+        pieces.append(base)
+        cts = jnp.take(jnp.concatenate(pieces, axis=0), src_sel, axis=0)
+    even_leaf_pos, even_dim0_idx, odd_leaf_pos = args[5 * g: 5 * g + 3]
+    return cts, even_leaf_pos, even_dim0_idx, odd_leaf_pos
+
+
 def regev_to_gsw(params: Params, v_inp, v_conv):
     """v_inp: (num_gsw * t_gsw, 2, 1, crt, n) NTT Regev cts;
     v_conv: (2, 2*t_conv, crt, n). Returns (num_gsw, 2, 2*t_gsw, crt, n)."""

@@ -65,6 +65,13 @@ class SpiralKvServer:
             db0 = self.engine._sharded.shard_db(db0)
         self.engine.db = db0
         self._updates = DbUpdateBuffer(params)
+        # populated item indices (over-approximation of nonzero DB rows):
+        # drives the compacted sparse query expansion (reference skip sets,
+        # query_expansion.rs:213-248). Sparse expansion only pays off while
+        # the populated first-dim fraction is small.
+        self._populated_items: set[int] = set()
+        self._pop_dirty = False
+        self.sparse_expansion_max_fill = 0.25
 
     # --- writes ---
 
@@ -97,6 +104,9 @@ class SpiralKvServer:
             raise ValueError(f"row {db_idx} data too large: {len(data)} > {max_len}")
         # NTT encode runs on device in one batch at flush time
         self._updates.upsert_raw(db_idx, data)
+        if db_idx not in self._populated_items:
+            self._populated_items.add(db_idx)
+            self._pop_dirty = True
 
     def update_item(self, body: bytes) -> None:
         """body = u32 idx BE || chunk bytes (loading.rs:301-316)."""
@@ -125,6 +135,13 @@ class SpiralKvServer:
             # the scatter may not preserve the NamedSharding; re-pin
             db = self.engine._sharded.shard_db(db)
         self.engine.db = db
+        if self._pop_dirty:
+            params = self.params
+            dim0 = 1 << params.db_dim_1
+            dim0_set = {i >> params.db_dim_2 for i in self._populated_items}
+            use = 0 < len(dim0_set) <= int(dim0 * self.sparse_expansion_max_fill)
+            self.engine.set_populated_dim0(dim0_set if use else None)
+            self._pop_dirty = False
 
     # --- setup / read ---
 
@@ -207,6 +224,9 @@ class SpiralKvServer:
                 db0 = self.engine._sharded.shard_db(db0)
             self.engine.db = db0
             self._updates.pending.clear()
+            self._populated_items.clear()
+            self._pop_dirty = False
+            self.engine.set_populated_dim0(None)
             self._stored_keys.clear()
             if self._key_bloom is not None:
                 from ..clients.bloom import BloomFilter
@@ -263,7 +283,8 @@ class SpiralKvServer:
             state = {"version": self.version,
                      "params_json": self.params_json,
                      "key_storage_policy": self.key_storage_policy,
-                     "stored_keys": sorted(self._stored_keys)}
+                     "stored_keys": sorted(self._stored_keys),
+                     "populated_items": sorted(self._populated_items)}
             if self._key_bloom is not None:
                 state["key_bloom"] = self._key_bloom.to_bytes().hex()
             with open(os.path.join(path, "state.json"), "w") as f:
@@ -289,6 +310,14 @@ class SpiralKvServer:
                 state = json.load(f)
             self.version = state["version"]
             self._stored_keys = set(state.get("stored_keys", []))
+            if "populated_items" in state:
+                self._populated_items = set(state["populated_items"])
+                self._pop_dirty = True
+            else:
+                # older checkpoint: no reliable population info — stay dense
+                self._populated_items = set()
+                self._pop_dirty = False
+                self.engine.set_populated_dim0(None)
             if "key_bloom" in state and self._key_bloom is not None:
                 from ..clients.bloom import BloomFilter
 

@@ -301,6 +301,10 @@ def process_query(params: Params, pp: PublicParameters, query: Query,
                 params, db[instance, trial], v_reg_reoriented)
             intermediate_raw = [poly.from_ntt(params, ct) for ct in intermediate]
             fold_ciphertexts(params, intermediate_raw, v_folding, v_folding_neg)
+            if instance == 0 and trial == 0:
+                # noise-localization hook (reference server.rs:713-729)
+                from .debug_hooks import check_folded_ct
+                check_folded_ct(params, intermediate_raw[0])
             v_ct.append(intermediate_raw[0])
         if params.version == 0:
             packed = pack(params, v_ct, pp.v_packing)
