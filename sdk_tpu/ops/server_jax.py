@@ -242,6 +242,15 @@ class SpiralServerJax:
         f_hi, f_lo = self._scan_fold_impl(db, q_arr, v_folding)
         return self._pack_impl(f_hi, f_lo, v_packing)
 
+    def _full_sparse_impl(self, db, ct0_hi, ct0_lo, v_exp_left, v_exp_right,
+                          v_conv, v_packing, *sched_args):
+        """Single-dispatch pipeline with compacted sparse expansion (the
+        staged split costs extra dispatch round trips per query)."""
+        q_arr, v_folding = self._expand_sparse_impl(
+            ct0_hi, ct0_lo, v_exp_left, v_exp_right, v_conv, *sched_args)
+        f_hi, f_lo = self._scan_fold_impl(db, q_arr, v_folding)
+        return self._pack_impl(f_hi, f_lo, v_packing)
+
     def process_query(self, pp: PublicParameters | dict, query: Query) -> bytes:
         from ..telemetry import GLOBAL_TIMERS as T
         from ..debug_hooks import check_folded_ct, client_test_active
@@ -249,16 +258,26 @@ class SpiralServerJax:
         params = self.params
         pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
         if (params.expand_queries and self._sharded is None
-                and self._splan is None and not client_test_active()):
-            # fused single-dispatch path
+                and not client_test_active()):
+            # fused single-dispatch path (sparse-expansion variant when a
+            # populated set is installed)
             with T.stage("query_fused"):
-                if not hasattr(self, "_jit_full"):
-                    self._jit_full = jax.jit(self._full_impl)
                 ct_hi, ct_lo = _split_pair_np(query.ct)
-                p_hi, p_lo = self._jit_full(
-                    self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
-                    pp_dev["v_exp_left"], pp_dev["v_exp_right"],
-                    pp_dev["v_conversion"], pp_dev["v_packing"])
+                if self._splan is not None:
+                    if not hasattr(self, "_jit_full_sparse"):
+                        self._jit_full_sparse = jax.jit(self._full_sparse_impl)
+                    p_hi, p_lo = self._jit_full_sparse(
+                        self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
+                        pp_dev["v_exp_left"], pp_dev["v_exp_right"],
+                        pp_dev["v_conversion"], pp_dev["v_packing"],
+                        *self._splan_dev)
+                else:
+                    if not hasattr(self, "_jit_full"):
+                        self._jit_full = jax.jit(self._full_impl)
+                    p_hi, p_lo = self._jit_full(
+                        self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
+                        pp_dev["v_exp_left"], pp_dev["v_exp_right"],
+                        pp_dev["v_conversion"], pp_dev["v_packing"])
                 packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
             with T.stage("encode"):
                 return encode_response(params, packed)

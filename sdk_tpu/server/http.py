@@ -199,13 +199,20 @@ def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
                 self._send(404, b'{"error": "not found"}')
 
         def do_POST(self):
-            path = self.path.rstrip("/")
+            path, _, qs = self.path.partition("?")
+            path = path.rstrip("/")
             if srv.destroyed:
                 self._send(404, b'{"error": "bucket destroyed"}')
                 return
             try:
                 body = self._body()
                 if path.endswith("/setup"):
+                    # explicit uuid (internal: DCN front ends register the
+                    # same client params on every instance-shard backend)
+                    forced_uid = None
+                    for kv in qs.split("&"):
+                        if kv.startswith("uuid="):
+                            forced_uid = kv[5:]
                     prelim = None
                     if len(body) < 1024:
                         try:
@@ -226,7 +233,14 @@ def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
                             "uuid": uid, "url": f"/upload/{token}",
                             "fields": {"key": token}}).encode())
                     else:
-                        uid = srv.setup(body)
+                        if forced_uid is not None:
+                            import base64 as _b64
+
+                            uid = srv.setup_raw(
+                                _b64.b64decode(json.loads(body)),
+                                uid=forced_uid)
+                        else:
+                            uid = srv.setup(body)
                         self._send(200, json.dumps({"uuid": uid}).encode())
                 elif "/upload/" in path:
                     token = path.rsplit("/", 1)[1]

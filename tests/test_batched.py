@@ -1,37 +1,16 @@
-"""Batched query serving (one DB scan, many queries) and the Pallas scan
-kernel (interpret mode on CPU) vs the XLA path."""
+"""Batched query serving: one DB scan amortized over many queries."""
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 import pytest
 
 from sdk_tpu import poly, server_host
 from sdk_tpu.arith import log2_ceil
 from sdk_tpu.client import Client, PublicParameters, Query
-from sdk_tpu.ops import spiral_jax as sj
-from sdk_tpu.ops.dbscan_pallas import firstdim_scan_pallas
 from sdk_tpu.ops.server_jax import SpiralServerJax
 from sdk_tpu.params import get_fast_expansion_testing_params
 from sdk_tpu.rng import ChaCha20Rng
 
 RNG = np.random.default_rng(17)
-
-
-def test_pallas_scan_matches_xla():
-    params = get_fast_expansion_testing_params()
-    dim0, num_per, R = 64, 8, 4
-    db = np.empty((2, params.poly_len, num_per, dim0), dtype=np.uint32)
-    qa = np.empty((2, params.poly_len, dim0, R), dtype=np.uint32)
-    for c, q in enumerate(params.moduli):
-        db[c] = RNG.integers(0, q, db.shape[1:], dtype=np.uint64)
-        qa[c] = RNG.integers(0, q, qa.shape[1:], dtype=np.uint64)
-    want = np.asarray(jax.jit(
-        lambda d, q: sj.firstdim_multiply(params, d, q))(
-            jnp.asarray(db), jnp.asarray(qa)))
-    got = np.asarray(firstdim_scan_pallas(params, jnp.asarray(db),
-                                          jnp.asarray(qa)))
-    np.testing.assert_array_equal(got, want)
 
 
 def test_batched_queries_decode():

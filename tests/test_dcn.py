@@ -1,0 +1,125 @@
+"""Multi-host DCN serving (sdk_tpu.server.dcn): instances sharded across
+backend servers must produce byte-identical responses to a single server
+holding all instances (the reference's independent-instances structure,
+lib/server/src/server.rs:53-96)."""
+
+import base64
+import json
+import socket
+
+import numpy as np
+import pytest
+
+from sdk_tpu.client import Client
+from sdk_tpu.params import params_from_json, params_from_json_obj
+from sdk_tpu.rng import ChaCha20Rng
+from sdk_tpu.server.dcn import (DcnFrontend, backend_params_obj,
+                                response_segment_bytes, serve as dcn_serve)
+from sdk_tpu.server.http import serve as http_serve
+from sdk_tpu.server.kv_server import SpiralKvServer
+
+PARAMS_JSON = ('{"n": 2, "nu_1": 6, "nu_2": 2, "p": 256, "q2_bits": 20,'
+               ' "t_gsw": 8, "t_conv": 4, "t_exp_left": 8, "t_exp_right": 8,'
+               ' "instances": 2, "db_item_size": 16384}')
+
+
+def free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def topology():
+    params = params_from_json(PARAMS_JSON)
+    b_obj = backend_params_obj(params, 2)
+    assert b_obj["instances"] == 1
+    backends, urls, httpds = [], [], []
+    for _ in range(2):
+        srv = SpiralKvServer(params_from_json_obj(b_obj))
+        port = free_port()
+        httpds.append(http_serve(srv, port, block=False))
+        backends.append(srv)
+        urls.append(f"http://localhost:{port}")
+    fe = DcnFrontend(params, urls, PARAMS_JSON)
+    single = SpiralKvServer(params, PARAMS_JSON)
+    yield params, fe, single, backends
+    for h in httpds:
+        h.shutdown()
+
+
+def _client(params):
+    c = Client(params)
+    pp = c.generate_keys_from_seed(
+        b"\x31" * 32, noise_rng=ChaCha20Rng(b"\x32" * 32),
+        pp_seed=b"\x33" * 32)
+    return c, pp.serialize(params)
+
+
+def test_dcn_matches_single_server_byte_exact(topology):
+    params, fe, single, backends = topology
+    rng = np.random.default_rng(6)
+
+    kv = {f"key-{i}": base64.b64encode(
+        rng.integers(0, 256, 500, dtype=np.uint8).tobytes()).decode()
+        for i in range(5)}
+    body = json.dumps(kv).encode()
+    fe.write_kv(body)
+    single.write_kv(body)
+
+    client, pp_raw = _client(params)
+    uid = "11111111-2222-3333-4444-555555555555"
+    fe.setup_raw(pp_raw, uid)
+    single.setup_raw(pp_raw, uid)
+
+    from sdk_tpu.kv.key_value import extract_result, row_from_key
+
+    key = "key-3"
+    row = row_from_key(params.num_items(), key)
+    query = client.generate_query(
+        row, noise_rng=ChaCha20Rng(b"\x38" * 32), query_seed=b"\x39" * 32)
+    blob = uid.encode() + query.serialize(params)
+    rd_body = json.dumps([base64.b64encode(blob).decode()]).encode()
+
+    dcn_resp = json.loads(fe.private_read(rd_body))
+    single_resp = json.loads(single.private_read(rd_body))
+    assert dcn_resp == single_resp  # byte-identical splice
+
+    import bz2 as _bz2
+
+    decoded = client.decode_response(base64.b64decode(dcn_resp[0]))
+    row_payload = _bz2.BZ2Decompressor().decompress(decoded)
+    assert extract_result(key, row_payload) == base64.b64decode(kv[key])
+
+
+def test_dcn_front_end_http_surface(topology):
+    params, fe, single, backends = topology
+    port = free_port()
+    httpd = dcn_serve(fe, port, block=False)
+    try:
+        from sdk_tpu.clients.bucket_service import connect_local
+
+        bucket = connect_local(port)
+        assert bucket.info()["dcn_backends"] == 2
+        bucket.write({"dcn-key": b"served across hosts"})
+        assert bucket.private_read(["dcn-key"]) == [b"served across hosts"]
+        assert bucket.private_read(["missing"]) == [None]
+    finally:
+        httpd.shutdown()
+
+
+def test_backend_params_and_segment_math():
+    params = params_from_json(PARAMS_JSON)
+    obj = backend_params_obj(params, 2)
+    bp = params_from_json_obj(obj)
+    assert bp.bytes_per_chunk() == params.bytes_per_chunk()
+    seg = response_segment_bytes(params)
+    # encode_response emits instances*seg bits (+ u64 padding)
+    from sdk_tpu.arith import log2_ceil
+    q1_bits = log2_ceil(4 * params.pt_modulus)
+    want_bits = params.instances * (
+        params.q2_bits * params.n * params.poly_len
+        + q1_bits * params.n * params.n * params.poly_len)
+    assert params.instances * seg * 8 == want_bits
+    with pytest.raises(AssertionError):
+        backend_params_obj(params, 3)
