@@ -172,6 +172,27 @@ class Query:
         return out
 
 
+def reframe_decoded_row(params: Params, decoded: bytes) -> bytes:
+    """Recover the row bytes from a decoded response when logp != 8.
+
+    raw_to_bytes (reference poly.rs:213-235) floor-aligns the bit cursor
+    after each poly, so each chunk occupies floor(modp_words*logp/8) bytes
+    of which the first bytes_per_chunk are the ingested payload
+    (kv/ingest.chunk_bytes_to_modp_words). logp == 8 is the identity."""
+    from .arith import log2_exact
+
+    logp = log2_exact(params.pt_modulus)
+    if logp == 8:
+        return decoded
+    seg = (params.modp_words_per_chunk() * logp) // 8
+    bpc = params.bytes_per_chunk()
+    chunks = params.instances * params.n * params.n
+    out = bytearray()
+    for c in range(chunks):
+        out.extend(decoded[c * seg : c * seg + bpc])
+    return bytes(out)
+
+
 class Client:
     """Spiral client (lib/spiral-rs/src/client.rs:361-811)."""
 

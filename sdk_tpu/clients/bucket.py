@@ -144,8 +144,11 @@ class Bucket:
 
     def _decode_result_row(self, result_row: bytes,
                            silence_errors: bool = True) -> Optional[bytes]:
+        from ..client import reframe_decoded_row
+
         try:
-            decrypted = self._client.decode_response(result_row)
+            decrypted = reframe_decoded_row(
+                self.params, self._client.decode_response(result_row))
             dec = bz2.BZ2Decompressor()
             return dec.decompress(decrypted)   # tolerates zero padding
         except Exception:

@@ -17,21 +17,43 @@ from ..ntt_host import ntt_forward
 from ..params import Params
 
 
+def chunk_bytes_to_modp_words(params: Params,
+                              chunk_rows: np.ndarray) -> np.ndarray:
+    """(n_chunks, bytes_per_chunk) uint8 -> (n_chunks, modp_words_per_chunk)
+    uint64 mod-p coefficients, reading logp-bit fields from each chunk's
+    little-endian bitstream (reference read_arbitrary_bits, util.rs:289-303;
+    logp == 8 degenerates to one byte per coefficient)."""
+    logp = log2_exact(params.pt_modulus)
+    n_chunks, pt_bytes = chunk_rows.shape
+    n_coeffs = params.modp_words_per_chunk()
+    assert n_coeffs <= params.poly_len
+    if logp == 8:
+        return chunk_rows.astype(U64)
+    offs = logp * np.arange(n_coeffs, dtype=np.int64)
+    byte_start = offs // 8
+    shift = (offs % 8).astype(U64)
+    padded = np.concatenate(
+        [chunk_rows, np.zeros((n_chunks, 4), dtype=np.uint8)], axis=1)
+    win = np.zeros((n_chunks, n_coeffs), dtype=U64)
+    for b in range(4):
+        win |= padded[:, byte_start + b].astype(U64) << U64(8 * b)
+    return (win >> shift) & U64((1 << logp) - 1)
+
+
 def convert_chunks_to_ntt(params: Params, data: bytes) -> np.ndarray:
     """data: zero-padded instances*trials*bytes_per_chunk bytes ->
     (instances*trials, crt, poly_len) uint32 NTT residues."""
     instances, trials = params.instances, params.n * params.n
-    logp = log2_exact(params.pt_modulus)
-    assert logp == 8, "fast ingestion path requires p = 256 (loading.rs:289)"
     pt_len = params.bytes_per_chunk()
     n_chunks = instances * trials
     buf = np.zeros(n_chunks * pt_len, dtype=np.uint8)
     arr = np.frombuffer(data, dtype=np.uint8)
     buf[: len(arr)] = arr
-    words = buf.reshape(n_chunks, pt_len).astype(U64)
-    assert pt_len <= params.poly_len
+    words = chunk_bytes_to_modp_words(params, buf.reshape(n_chunks, pt_len))
+    n_coeffs = words.shape[1]
     coeffs = np.zeros((n_chunks, params.poly_len), dtype=U64)
-    coeffs[:, :pt_len] = recenter_mod_arr(words, params.pt_modulus, params.modulus)
+    coeffs[:, :n_coeffs] = recenter_mod_arr(words, params.pt_modulus,
+                                            params.modulus)
     chans = np.stack([coeffs % U64(q) for q in params.moduli], axis=-2)
     return ntt_forward(params, chans).astype(np.uint32)
 
@@ -40,20 +62,32 @@ def ingest_items_device(params: Params, raw_bytes):
     """Jitted index build: (K, instances*trials, bytes_per_chunk) uint8
     zero-padded chunk bytes -> (K, instances*trials, crt, poly_len) uint32
     NTT residues, all on device (the TPU analog of the reference's rayon
-    par_chunks NTT encode, loading.rs:344-350)."""
+    par_chunks NTT encode, loading.rs:344-350). Any power-of-two p: logp-bit
+    fields are gathered from each chunk's little-endian bitstream."""
     import jax.numpy as jnp
 
     from ..ops.ntt_jax import ntt_forward
 
     logp = log2_exact(params.pt_modulus)
-    assert logp == 8
     half = params.pt_modulus // 2
-    words = raw_bytes.astype(jnp.int32)
+    if logp == 8:
+        words = raw_bytes.astype(jnp.int32)
+    else:
+        n_coeffs = params.modp_words_per_chunk()
+        offs = logp * np.arange(n_coeffs, dtype=np.int64)
+        byte_start = jnp.asarray(offs // 8)
+        shift = jnp.asarray((offs % 8).astype(np.uint32))
+        padded = jnp.pad(raw_bytes, ((0, 0), (0, 0), (0, 4)))
+        win = jnp.zeros(raw_bytes.shape[:2] + (n_coeffs,), dtype=jnp.uint32)
+        for b in range(4):
+            win = win | (jnp.take(padded, byte_start + b, axis=-1)
+                         .astype(jnp.uint32) << jnp.uint32(8 * b))
+        words = ((win >> shift) & jnp.uint32((1 << logp) - 1)).astype(jnp.int32)
     centered = jnp.where(words > half, words - params.pt_modulus, words)
     chans = []
     for q in params.moduli:
         v = jnp.where(centered < 0, centered + q, centered).astype(jnp.uint32)
-        pad = params.poly_len - raw_bytes.shape[-1]
+        pad = params.poly_len - centered.shape[-1]
         if pad:
             v = jnp.pad(v, ((0, 0), (0, 0), (0, pad)))
         chans.append(v)
@@ -71,6 +105,7 @@ class DbUpdateBuffer:
         self.pending_raw: dict[int, np.ndarray] = {}
         self.device_ingest = device_ingest
         self._jit_ingest = None
+        self._jit_scatter = None
 
     def upsert(self, db_idx: int, ntt_chunks: np.ndarray) -> None:
         """ntt_chunks: (instances*trials, crt, poly_len) uint32 (host-side
@@ -123,6 +158,13 @@ class DbUpdateBuffer:
         vals = np.ascontiguousarray(vals.transpose(1, 2, 3, 4, 0))
         ii = np.array([i % num_per for i in idxs])   # num_per coordinate
         jj = np.array([i // num_per for i in idxs])  # dim0 coordinate
-        db = db.at[:, :, :, :, ii, jj].set(jnp.asarray(vals))
+        # donate the DB buffer: the scatter must not hold two copies of a
+        # multi-GB index in HBM (the caller immediately replaces its ref)
+        if self._jit_scatter is None:
+            self._jit_scatter = jax.jit(
+                lambda d, v, i1, j1: d.at[:, :, :, :, i1, j1].set(v),
+                donate_argnums=0)
+        db = self._jit_scatter(db, jnp.asarray(vals), jnp.asarray(ii),
+                               jnp.asarray(jj))
         self.pending.clear()
         return db

@@ -37,6 +37,19 @@ def _join_pair_np(hi: np.ndarray, lo: np.ndarray):
     return (hi.astype(U64) << U64(32)) | lo.astype(U64)
 
 
+# above this many DB bytes, scan trials sequentially (lax.map) instead of
+# vectorizing them all (vmap): the per-trial scan temporaries of a vmapped
+# multi-GB index otherwise push HBM past capacity
+_SEQUENTIAL_SCAN_DB_BYTES = 6 << 30
+
+
+def _map_trials(fn, it):
+    """vmap for small DBs, sequential lax.map for multi-GB ones."""
+    if it.size * it.dtype.itemsize > _SEQUENTIAL_SCAN_DB_BYTES:
+        return jax.lax.map(fn, it)
+    return jax.vmap(fn)(it)
+
+
 def db_tensor_to_device(params: Params, db_host: np.ndarray):
     """Host DB tensor (inst, trials, poly_len, crt, num_per, dim0) u64 ->
     device (inst, trials, crt, poly_len, num_per, dim0) u32."""
@@ -184,7 +197,7 @@ class SpiralServerJax:
             return sj.fold_ciphertexts(params, hi, lo, v_folding, v_folding_neg)
 
         it = db.reshape((-1,) + db.shape[2:])
-        hi, lo = jax.vmap(one_trial)(it)
+        hi, lo = _map_trials(one_trial, it)
         shape = db.shape[:2] + hi.shape[1:]
         return hi.reshape(shape), lo.reshape(shape)
 
@@ -325,7 +338,7 @@ class SpiralServerJax:
             return jnp.stack(outs_h), jnp.stack(outs_l)
 
         it = db.reshape((-1,) + db.shape[2:])
-        hi, lo = jax.vmap(one_trial)(it)            # (T, NQ, 2, 1, z)
+        hi, lo = _map_trials(one_trial, it)         # (T, NQ, 2, 1, z)
         hi = jnp.swapaxes(hi, 0, 1)
         lo = jnp.swapaxes(lo, 0, 1)                 # (NQ, T, 2, 1, z)
         shape = (nq,) + db.shape[:2] + hi.shape[2:]
