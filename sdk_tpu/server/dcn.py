@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import base64
 import json
-import math
 import sys
 import threading
 import urllib.request
@@ -274,6 +273,7 @@ class DcnFrontend:
 
 def make_handler(fe: DcnFrontend):
     """Same route surface as sdk_tpu.server.http, served by the router."""
+    pending_uploads: dict[str, dict] = {}
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -341,12 +341,47 @@ def make_handler(fe: DcnFrontend):
                     for kv in qs.split("&"):
                         if kv.startswith("uuid="):
                             forced_uid = kv[5:]
-                    if forced_uid is not None:
+                    prelim = None
+                    if len(body) < 1024 and forced_uid is None:
+                        try:
+                            parsed = json.loads(body)
+                            if isinstance(parsed, dict) and "length" in parsed:
+                                prelim = parsed
+                        except ValueError:
+                            pass
+                    if prelim is not None:
+                        # presigned-upload flow (reference api.rs:149-186)
+                        import uuid as _uuid
+
+                        uid = str(_uuid.uuid4())
+                        token = _uuid.uuid4().hex
+                        pending_uploads[token] = {
+                            "uuid": uid, "length": int(prelim["length"])}
+                        self._send(200, json.dumps({
+                            "uuid": uid, "url": f"/upload/{token}",
+                            "fields": {"key": token}}).encode())
+                    elif forced_uid is not None:
                         uid = fe.setup_raw(base64.b64decode(json.loads(body)),
                                            forced_uid)
+                        self._send(200, json.dumps({"uuid": uid}).encode())
                     else:
                         uid = fe.setup(body)
-                    self._send(200, json.dumps({"uuid": uid}).encode())
+                        self._send(200, json.dumps({"uuid": uid}).encode())
+                elif "/upload/" in path:
+                    token = path.rsplit("/", 1)[1]
+                    slot = pending_uploads.pop(token, None)
+                    if slot is None:
+                        self._send(404, b'{"error": "unknown upload token"}')
+                        return
+                    raw = parse_multipart_file(
+                        self.headers.get("Content-Type", ""), body)
+                    if len(raw) != slot["length"]:
+                        self._send(400, json.dumps(
+                            {"error": "upload length mismatch"}).encode())
+                        return
+                    fe.setup_raw(raw, slot["uuid"])
+                    self._send(200, json.dumps(
+                        {"uuid": slot["uuid"]}).encode())
                 elif path.endswith("/write"):
                     self._send(200, json.dumps(fe.write_kv(body)).encode())
                 elif path.endswith("/update-row"):

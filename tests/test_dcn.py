@@ -108,6 +108,21 @@ def test_dcn_front_end_http_surface(topology):
         httpd.shutdown()
 
 
+def test_dcn_presigned_setup(topology):
+    params, fe, single, backends = topology
+    port = free_port()
+    httpd = dcn_serve(fe, port, block=False)
+    try:
+        from sdk_tpu.clients.api import API
+
+        api = API("", f"http://localhost:{port}")
+        _, pp_raw = _client(params)
+        uid = api.setup_presigned("", pp_raw)
+        assert fe.has_uuid(uid)
+    finally:
+        httpd.shutdown()
+
+
 def test_backend_params_and_segment_math():
     params = params_from_json(PARAMS_JSON)
     obj = backend_params_obj(params, 2)
