@@ -553,7 +553,16 @@ def get_v_folding_neg(params: Params, v_folding, gadget_ntt_u32):
 
 def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
     """cts: (num_per, 2, 1, n) raw pairs; GSW-driven binary fold, returns
-    (2, 1, n) raw pair."""
+    (2, 1, n) raw pair.
+
+    Implements the reference's sparse-DB all-zero shortcut (lib/server
+    fold.rs:37-44, "crucial for correctness") as vectorized masks: a round's
+    output slot takes b verbatim when a is exactly zero (absent row) and a
+    when b is zero, bypassing the GSW selection. Without this, the unsigned
+    G^-1 digits' z/2 mean turns the GSW key error into a low-frequency
+    cumulative-sum term far over the decode budget whenever one side is a
+    true zero. The masks cost two small reductions; the GSW products still
+    run dense (no dynamic shapes under jit)."""
     further_dims = params.db_dim_2
     num_per = cts_hi.shape[0]
     if num_per == 1:
@@ -563,6 +572,8 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
         num_per //= 2
         a_hi, a_lo = cts_hi[:num_per], cts_lo[:num_per]
         b_hi, b_lo = cts_hi[num_per : 2 * num_per], cts_lo[num_per : 2 * num_per]
+        za = jnp.all((a_hi == 0) & (a_lo == 0), axis=(1, 2, 3))  # (num_per,)
+        zb = jnp.all((b_hi == 0) & (b_lo == 0), axis=(1, 2, 3))
         ginv_a = gadget_digits(params, a_hi, a_lo, ell, 2)
         ginv_b = gadget_digits(params, b_hi, b_lo, ell, 2)
         ga_ntt = to_ntt(params, *_pair_id(ginv_a, params))
@@ -570,7 +581,11 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
         key = further_dims - 1 - cur_dim
         prod = matmul_mod(params, v_folding_neg[key], ga_ntt)
         summ = matmul_mod(params, v_folding[key], gb_ntt)
-        cts_hi, cts_lo = from_ntt(params, add_mod(params, summ, prod))
+        f_hi, f_lo = from_ntt(params, add_mod(params, summ, prod))
+        za = za[:, None, None, None]
+        zb = zb[:, None, None, None]
+        cts_hi = jnp.where(za, b_hi, jnp.where(zb, a_hi, f_hi))
+        cts_lo = jnp.where(za, b_lo, jnp.where(zb, a_lo, f_lo))
     return cts_hi[0], cts_lo[0]
 
 

@@ -157,7 +157,17 @@ def get_v_folding_neg(params: Params, v_folding: list[np.ndarray]) -> list[np.nd
 
 def fold_ciphertexts(params: Params, v_cts: list[np.ndarray],
                      v_folding, v_folding_neg) -> None:
-    """GSW-driven binary fold of raw (2,1) cts, in place (server.rs:388-427)."""
+    """GSW-driven binary fold of raw (2,1) cts, in place (server.rs:388-427,
+    with the sparse-DB all-zero shortcut of lib/server fold.rs:37-44).
+
+    The shortcut is load-bearing, not an optimization: an exactly-zero input
+    (absent DB row) must bypass the GSW selection. G^-1 digits are unsigned
+    with mean z/2, so the key-error product E*(G^-1(b) - G^-1(a)) is only
+    zero-mean when both sides carry digits; with one side zero the mean
+    component survives as a cumulative-sum (low-frequency random walk) error
+    of ~n*(z/2)^2*Var(E) per coefficient, far over the decode budget at
+    production shapes (the reference marks this branch "crucial for
+    correctness")."""
     if len(v_cts) == 1:
         return
     further_dims = log2_exact(len(v_cts))
@@ -166,6 +176,11 @@ def fold_ciphertexts(params: Params, v_cts: list[np.ndarray],
     for cur_dim in range(further_dims):
         num_per //= 2
         for i in range(num_per):
+            if not v_cts[i].any():
+                v_cts[i] = v_cts[num_per + i]
+                continue
+            if not v_cts[num_per + i].any():
+                continue
             ginv_c = poly.gadget_invert(params, 2 * ell, v_cts[i])
             ginv_c_ntt = poly.to_ntt(params, ginv_c)
             prod = poly.multiply(params, v_folding_neg[further_dims - 1 - cur_dim],

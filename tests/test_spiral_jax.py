@@ -143,3 +143,68 @@ def test_full_protocol_device(params_fn):
     p_bits = log2_ceil(params.pt_modulus)
     corr = poly.raw_to_bytes(params, corr_item, p_bits, params.modp_words_per_chunk())
     assert result == corr
+
+
+def _fold_fixture():
+    """GSW folding keys from a real direct-upload query, plus shared rng."""
+    params = get_no_expansion_testing_params()
+    client, _ = seeded_client(params)
+    query = client.generate_query(
+        5, noise_rng=ChaCha20Rng(b"\x18" * 32), query_seed=b"\x19" * 32)
+    v_folding = [poly.to_ntt(params, ct) for ct in query.v_ct]
+    v_folding_neg = server_host.get_v_folding_neg(params, v_folding)
+    g_ntt = poly.to_ntt(params, poly.build_gadget(
+        params, 2, 2 * params.t_gsw)).astype(np.uint32)
+    vf_dev = jnp.asarray(np.stack(v_folding).astype(np.uint32))
+    vfn_dev = jax.jit(lambda v: sj.get_v_folding_neg(params, v, g_ntt))(vf_dev)
+    return params, v_folding, v_folding_neg, vf_dev, vfn_dev
+
+
+def _engine_fold(params, cts, vf_dev, vfn_dev):
+    hi, lo = _split_pair_np(np.stack(cts))
+    f = jax.jit(lambda h, l: sj.fold_ciphertexts(
+        params, h, l, vf_dev, vfn_dev))
+    fh, fl = f(jnp.asarray(hi), jnp.asarray(lo))
+    return _join_pair_np(np.asarray(fh), np.asarray(fl))
+
+
+def test_fold_all_zero_shortcut():
+    """Folding a single populated slot must return that slot's ct verbatim —
+    the reference's sparse-DB shortcut (lib/server fold.rs:37-44, 'crucial
+    for correctness'): a true-zero input bypasses the GSW selection, so no
+    key noise is added for absent rows."""
+    params, v_folding, v_folding_neg, vf_dev, vfn_dev = _fold_fixture()
+    num_per = 1 << params.db_dim_2
+    rng = np.random.default_rng(9)
+    for planted in (0, 3, num_per - 1):
+        item_ct = rng.integers(0, params.modulus,
+                               (2, 1, params.poly_len), dtype=U64)
+        cts = [np.zeros((2, 1, params.poly_len), dtype=U64)
+               for _ in range(num_per)]
+        cts[planted] = item_ct.copy()
+        host_cts = [c.copy() for c in cts]
+        server_host.fold_ciphertexts(params, host_cts, v_folding,
+                                     v_folding_neg)
+        np.testing.assert_array_equal(host_cts[0], item_ct)
+        got = _engine_fold(params, cts, vf_dev, vfn_dev)
+        np.testing.assert_array_equal(got, item_ct.reshape(got.shape))
+
+
+def test_fold_sparse_patterns_match_host():
+    """Engine fold must stay bit-exact vs the host oracle for mixed
+    populated/zero slot patterns (exercises both the shortcut branches and
+    the dense GSW path in one tree)."""
+    params, v_folding, v_folding_neg, vf_dev, vfn_dev = _fold_fixture()
+    num_per = 1 << params.db_dim_2
+    rng = np.random.default_rng(10)
+    for pattern in ({1, 4}, {2, 3, 6}, set(range(num_per))):
+        cts = [np.zeros((2, 1, params.poly_len), dtype=U64)
+               for _ in range(num_per)]
+        for k in pattern:
+            cts[k] = rng.integers(0, params.modulus,
+                                  (2, 1, params.poly_len), dtype=U64)
+        host_cts = [c.copy() for c in cts]
+        server_host.fold_ciphertexts(params, host_cts, v_folding,
+                                     v_folding_neg)
+        got = _engine_fold(params, cts, vf_dev, vfn_dev)
+        np.testing.assert_array_equal(got, host_cts[0].reshape(got.shape))
