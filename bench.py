@@ -39,27 +39,33 @@ def main():
     R = 2 * NUM_QUERIES
 
     # generate operands ON DEVICE (uploading a multi-GB DB through the axon
-    # tunnel is slow and flaky); values uniform in [0, q_c)
+    # tunnel is slow and flaky); values uniform in [0, q_c), then decompose
+    # once into the int8 limb storage layout (the serving format)
     @jax.jit
     def gen():
         key = jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         chans_db, chans_q = [], []
         for c, q in enumerate(params.moduli):
-            chans_db.append(jax.random.randint(
-                jax.random.fold_in(k1, c), (trials, params.poly_len, num_per, dim0),
-                0, q, dtype=jnp.uint32))
+            u32 = jax.random.randint(
+                jax.random.fold_in(k1, c),
+                (params.poly_len, 1, trials, num_per, dim0),
+                0, q, dtype=jnp.uint32)
+            chans_db.append(jnp.stack(
+                [((u32 >> jnp.uint32(7 * k)) & jnp.uint32(127)).astype(jnp.int8)
+                 for k in range(sj.NUM_LIMBS)]))
             chans_q.append(jax.random.randint(
                 jax.random.fold_in(k2, c), (params.poly_len, dim0, R),
                 0, q, dtype=jnp.uint32))
-        return jnp.stack(chans_db, axis=1), jnp.stack(chans_q, axis=0)
+        # (crt, L, z, inst=1, trials, num_per, dim0) int8
+        return jnp.stack(chans_db, axis=0), jnp.stack(chans_q, axis=0)
 
     db_dev, q_dev = gen()
     db_dev.block_until_ready()
 
     @jax.jit
     def scan(db, q_arr):
-        out = jax.vmap(lambda d: sj.firstdim_multiply(params, d, q_arr))(db)
+        out = sj.firstdim_multiply(params, db, q_arr)
         # reduce to a scalar so each timed iteration fetches one word —
         # block_until_ready through the axon tunnel does not await remote
         # completion, so the fetch is the only honest fence.

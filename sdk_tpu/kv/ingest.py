@@ -128,12 +128,14 @@ class DbUpdateBuffer:
         self.pending.pop(db_idx, None)
 
     def flush(self, db):
-        """Apply all pending updates to the device DB tensor
-        (inst, trials, crt, poly_len, num_per, dim0); returns the new tensor."""
+        """Apply all pending updates to the device DB limb tensor
+        (crt, L, z, inst, trials, num_per, dim0); returns the new tensor."""
         if not self.pending and not self.pending_raw:
             return db
         import jax
         import jax.numpy as jnp
+
+        from ..ops.spiral_jax import db_limbs_host
 
         params = self.params
         num_per = 1 << params.db_dim_2
@@ -150,19 +152,21 @@ class DbUpdateBuffer:
             self.pending_raw.clear()
 
         idxs = sorted(self.pending)
-        # (K, inst*trials, crt, poly_len) -> (inst, trials, crt, poly_len, K)
+        # (K, inst*trials, crt, poly_len) -> limbs (crt, L, z, inst, trials, K)
         vals = np.stack([self.pending[i] for i in idxs])
         K = len(idxs)
         vals = vals.reshape(K, params.instances, params.n * params.n,
                             params.crt_count, params.poly_len)
-        vals = np.ascontiguousarray(vals.transpose(1, 2, 3, 4, 0))
+        vals = np.ascontiguousarray(vals.transpose(3, 4, 1, 2, 0))
+        vals = np.ascontiguousarray(
+            np.moveaxis(db_limbs_host(params, vals), 0, 1))
         ii = np.array([i % num_per for i in idxs])   # num_per coordinate
         jj = np.array([i // num_per for i in idxs])  # dim0 coordinate
         # donate the DB buffer: the scatter must not hold two copies of a
         # multi-GB index in HBM (the caller immediately replaces its ref)
         if self._jit_scatter is None:
             self._jit_scatter = jax.jit(
-                lambda d, v, i1, j1: d.at[:, :, :, :, i1, j1].set(v),
+                lambda d, v, i1, j1: d.at[:, :, :, :, :, i1, j1].set(v),
                 donate_argnums=0)
         db = self._jit_scatter(db, jnp.asarray(vals), jnp.asarray(ii),
                                jnp.asarray(jj))

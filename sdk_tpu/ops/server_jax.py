@@ -37,24 +37,27 @@ def _join_pair_np(hi: np.ndarray, lo: np.ndarray):
     return (hi.astype(U64) << U64(32)) | lo.astype(U64)
 
 
-# above this many DB bytes, scan trials sequentially (lax.map) instead of
-# vectorizing them all (vmap): the per-trial scan temporaries of a vmapped
-# multi-GB index otherwise push HBM past capacity
-_SEQUENTIAL_SCAN_DB_BYTES = 6 << 30
-
-
-def _map_trials(fn, it):
-    """vmap for small DBs, sequential lax.map for multi-GB ones."""
-    if it.size * it.dtype.itemsize > _SEQUENTIAL_SCAN_DB_BYTES:
-        return jax.lax.map(fn, it)
-    return jax.vmap(fn)(it)
-
-
 def db_tensor_to_device(params: Params, db_host: np.ndarray):
     """Host DB tensor (inst, trials, poly_len, crt, num_per, dim0) u64 ->
-    device (inst, trials, crt, poly_len, num_per, dim0) u32."""
-    return jnp.asarray(
-        np.ascontiguousarray(db_host.transpose(0, 1, 3, 2, 4, 5)).astype(np.uint32))
+    device int8 limb tensor (crt, NUM_LIMBS, z, inst, trials, num_per, dim0).
+
+    The limb decompose happens host-side so only the final int8 tensor (same
+    bytes as the u32 residues) is resident in HBM — a device-side decompose
+    would briefly double the multi-GB index. (crt, limb) lead the layout so
+    each scan einsum slices a contiguous plane (no XLA repack copies)."""
+    u32 = np.ascontiguousarray(
+        db_host.transpose(3, 2, 0, 1, 4, 5)).astype(np.uint32)
+    return jnp.asarray(np.ascontiguousarray(
+        np.moveaxis(sj.db_limbs_host(params, u32), 0, 1)))
+
+
+def db_zeros_device(params: Params):
+    """Empty device DB in the limb storage layout."""
+    dim0 = 1 << params.db_dim_1
+    num_per = 1 << params.db_dim_2
+    return jnp.zeros(
+        (params.crt_count, sj.NUM_LIMBS, params.poly_len, params.instances,
+         params.n * params.n, num_per, dim0), dtype=jnp.int8)
 
 
 def pp_to_device(params: Params, pp: PublicParameters) -> dict:
@@ -183,23 +186,21 @@ class SpiralServerJax:
         return q_arr, v_folding
 
     def _scan_fold_impl(self, db, q_arr, v_folding):
-        """db: (inst, trials, crt, z, num_per, dim0). Returns folded raw cts
-        (inst, trials, 2, 1, poly_len) pairs."""
+        """db: (crt, L, z, inst, trials, num_per, dim0) int8 limbs. Returns
+        folded raw cts (inst, trials, 2, 1, poly_len) pairs."""
         params = self.params
         v_folding_neg = sj.get_v_folding_neg(params, v_folding,
                                              self.gadget_ntt_u32)
-
-        def one_trial(db_slice):
-            inter = sj.firstdim_multiply(params, db_slice, q_arr)
-            # (crt, z, num_per, 2) -> NTT cts (num_per, 2, 1, crt, z)
-            cts = jnp.transpose(inter, (2, 3, 0, 1))[:, :, None, :, :]
-            hi, lo = sj.from_ntt(params, cts)
-            return sj.fold_ciphertexts(params, hi, lo, v_folding, v_folding_neg)
-
-        it = db.reshape((-1,) + db.shape[2:])
-        hi, lo = _map_trials(one_trial, it)
-        shape = db.shape[:2] + hi.shape[1:]
-        return hi.reshape(shape), lo.reshape(shape)
+        inter = sj.firstdim_multiply(params, db, q_arr)
+        # (crt, z, inst, trials, num_per, 2) -> (IT, num_per, 2, 1, crt, z)
+        cts = jnp.transpose(inter, (2, 3, 4, 5, 0, 1))
+        inst, trials = cts.shape[:2]
+        cts = cts.reshape((inst * trials,) + cts.shape[2:])[:, :, :, None, :, :]
+        hi, lo = sj.from_ntt(params, cts)
+        h, l = jax.vmap(lambda a, b: sj.fold_ciphertexts(
+            params, a, b, v_folding, v_folding_neg))(hi, lo)
+        shape = (inst, trials) + h.shape[1:]
+        return h.reshape(shape), l.reshape(shape)
 
     def _pack_impl(self, folded_hi, folded_lo, v_packing):
         """folded: (inst, trials, 2, 1, n) pairs -> packed raw
@@ -320,28 +321,26 @@ class SpiralServerJax:
         nq = q_arrs.shape[0]
         # (crt, z, dim0, 2*NQ)
         q_wide = jnp.concatenate([q_arrs[i] for i in range(nq)], axis=-1)
-
-        def one_trial(db_slice):
-            inter = sj.firstdim_multiply(params, db_slice, q_wide)
-            outs_h, outs_l = [], []
-            for i in range(nq):
-                v_folding = v_foldings[i]
-                v_folding_neg = sj.get_v_folding_neg(params, v_folding,
-                                                     self.gadget_ntt_u32)
-                part = inter[..., 2 * i : 2 * i + 2]
-                cts = jnp.transpose(part, (2, 3, 0, 1))[:, :, None, :, :]
-                hi, lo = sj.from_ntt(params, cts)
-                h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
-                                           v_folding_neg)
-                outs_h.append(h)
-                outs_l.append(l)
-            return jnp.stack(outs_h), jnp.stack(outs_l)
-
-        it = db.reshape((-1,) + db.shape[2:])
-        hi, lo = _map_trials(one_trial, it)         # (T, NQ, 2, 1, z)
-        hi = jnp.swapaxes(hi, 0, 1)
-        lo = jnp.swapaxes(lo, 0, 1)                 # (NQ, T, 2, 1, z)
-        shape = (nq,) + db.shape[:2] + hi.shape[2:]
+        inter = sj.firstdim_multiply(params, db, q_wide)
+        # (crt, z, inst, trials, num_per, 2*NQ)
+        inst, trials = inter.shape[2], inter.shape[3]
+        outs_h, outs_l = [], []
+        for i in range(nq):
+            v_folding = v_foldings[i]
+            v_folding_neg = sj.get_v_folding_neg(params, v_folding,
+                                                 self.gadget_ntt_u32)
+            part = inter[..., 2 * i : 2 * i + 2]
+            cts = jnp.transpose(part, (2, 3, 4, 5, 0, 1))
+            cts = cts.reshape((inst * trials,) + cts.shape[2:])[
+                :, :, :, None, :, :]
+            hi, lo = sj.from_ntt(params, cts)
+            h, l = jax.vmap(lambda a, b: sj.fold_ciphertexts(
+                params, a, b, v_folding, v_folding_neg))(hi, lo)
+            outs_h.append(h)
+            outs_l.append(l)
+        hi = jnp.stack(outs_h)                      # (NQ, IT, 2, 1, z)
+        lo = jnp.stack(outs_l)
+        shape = (nq, inst, trials) + hi.shape[2:]
         return hi.reshape(shape), lo.reshape(shape)
 
     def process_queries_batched(self, requests: list) -> list[bytes]:

@@ -97,7 +97,8 @@ class ShardedSpiralScan:
         self.mesh = mesh
         self.gadget_ntt_u32 = gadget_ntt_u32
 
-        db_spec = P(None, "dp", None, None, None, "db")
+        # limb layout: (crt, L, z, inst, trials, num_per, dim0)
+        db_spec = P(None, None, None, None, "dp", None, "db")
         q_spec = P(None, None, "db", None)
         fold_spec = P()  # replicated (small)
         out_spec = (P(None, "dp"), P(None, "dp"))
@@ -110,22 +111,21 @@ class ShardedSpiralScan:
             params = self.params
             v_folding_neg = sj.get_v_folding_neg(params, v_folding,
                                                  self.gadget_ntt_u32)
-
-            def one_trial(db_slice):
-                # partial over the local dim0 shard, then exact mod-q psum
-                partial = sj.firstdim_multiply(params, db_slice, q_arr)
-                full = jnp.stack([
-                    psum_mod(partial[c], q, "db")
-                    for c, q in enumerate(params.moduli)])
-                cts = jnp.transpose(full, (2, 3, 0, 1))[:, :, None, :, :]
-                hi, lo = sj.from_ntt(params, cts)
-                return sj.fold_ciphertexts(params, hi, lo, v_folding,
-                                           v_folding_neg)
-
-            it = db.reshape((-1,) + db.shape[2:])
-            hi, lo = jax.vmap(one_trial)(it)
-            shape = db.shape[:2] + hi.shape[1:]
-            return hi.reshape(shape), lo.reshape(shape)
+            # partial over the local dim0 shard, then exact mod-q psum
+            partial = sj.firstdim_multiply(params, db, q_arr)
+            full = jnp.stack([
+                psum_mod(partial[c], q, "db")
+                for c, q in enumerate(params.moduli)])
+            # (crt, z, inst, T_local, num_per, 2) -> (IT, num_per, 2, 1, crt, z)
+            cts = jnp.transpose(full, (2, 3, 4, 5, 0, 1))
+            inst, t_local = cts.shape[:2]
+            cts = cts.reshape((inst * t_local,) + cts.shape[2:])[
+                :, :, :, None, :, :]
+            hi, lo = sj.from_ntt(params, cts)
+            h, l = jax.vmap(lambda a, b: sj.fold_ciphertexts(
+                params, a, b, v_folding, v_folding_neg))(hi, lo)
+            shape = (inst, t_local) + h.shape[1:]
+            return h.reshape(shape), l.reshape(shape)
 
         self.scan_fold = jax.jit(scan_fold)
 
@@ -145,39 +145,36 @@ class ShardedSpiralScan:
             nq = q_arrs.shape[0]
             # (crt, z, dim0_local, 2*NQ)
             q_wide = jnp.concatenate([q_arrs[i] for i in range(nq)], axis=-1)
-
-            def one_trial(db_slice):
-                partial = sj.firstdim_multiply(params, db_slice, q_wide)
-                full = jnp.stack([
-                    psum_mod(partial[c], q, "db")
-                    for c, q in enumerate(params.moduli)])
-                outs_h, outs_l = [], []
-                for i in range(nq):
-                    v_folding = v_foldings[i]
-                    v_folding_neg = sj.get_v_folding_neg(
-                        params, v_folding, self.gadget_ntt_u32)
-                    part = full[..., 2 * i : 2 * i + 2]
-                    cts = jnp.transpose(part, (2, 3, 0, 1))[:, :, None, :, :]
-                    hi, lo = sj.from_ntt(params, cts)
-                    h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
-                                               v_folding_neg)
-                    outs_h.append(h)
-                    outs_l.append(l)
-                return jnp.stack(outs_h), jnp.stack(outs_l)
-
-            it = db.reshape((-1,) + db.shape[2:])
-            hi, lo = jax.vmap(one_trial)(it)        # (T_local, NQ, 2, 1, z)
-            hi = jnp.swapaxes(hi, 0, 1)
-            lo = jnp.swapaxes(lo, 0, 1)             # (NQ, T_local, ...)
-            shape = (nq,) + db.shape[:2] + hi.shape[2:]
+            partial = sj.firstdim_multiply(params, db, q_wide)
+            full = jnp.stack([
+                psum_mod(partial[c], q, "db")
+                for c, q in enumerate(params.moduli)])
+            inst, t_local = full.shape[2], full.shape[3]
+            outs_h, outs_l = [], []
+            for i in range(nq):
+                v_folding = v_foldings[i]
+                v_folding_neg = sj.get_v_folding_neg(
+                    params, v_folding, self.gadget_ntt_u32)
+                part = full[..., 2 * i : 2 * i + 2]
+                cts = jnp.transpose(part, (2, 3, 4, 5, 0, 1))
+                cts = cts.reshape((inst * t_local,) + cts.shape[2:])[
+                    :, :, :, None, :, :]
+                hi, lo = sj.from_ntt(params, cts)
+                h, l = jax.vmap(lambda a, b: sj.fold_ciphertexts(
+                    params, a, b, v_folding, v_folding_neg))(hi, lo)
+                outs_h.append(h)
+                outs_l.append(l)
+            hi = jnp.stack(outs_h)                  # (NQ, IT_local, 2, 1, z)
+            lo = jnp.stack(outs_l)
+            shape = (nq, inst, t_local) + hi.shape[2:]
             return hi.reshape(shape), lo.reshape(shape)
 
         self.scan_fold_batched = jax.jit(scan_fold_batched)
 
     def shard_db(self, db):
-        """Place a (inst, trials, crt, z, num_per, dim0) device array onto the
-        mesh with the scan sharding."""
-        spec = P(None, "dp", None, None, None, "db")
+        """Place a (crt, L, z, inst, trials, num_per, dim0) limb array onto
+        the mesh with the scan sharding."""
+        spec = P(None, None, None, None, "dp", None, "db")
         return jax.device_put(db, jax.sharding.NamedSharding(self.mesh, spec))
 
 

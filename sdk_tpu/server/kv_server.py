@@ -56,11 +56,9 @@ class SpiralKvServer:
         # (sdk_tpu.ops.shard; the production shape of the reference's
         # per-instance parallelism, lib/server/src/server.rs:53-96).
         self.engine = SpiralServerJax(params, mesh=mesh)
-        dim0 = 1 << params.db_dim_1
-        num_per = 1 << params.db_dim_2
-        db0 = jnp.zeros(
-            (params.instances, params.n * params.n, params.crt_count,
-             params.poly_len, num_per, dim0), dtype=jnp.uint32)
+        from ..ops.server_jax import db_zeros_device
+
+        db0 = db_zeros_device(params)
         if self.engine._sharded is not None:
             db0 = self.engine._sharded.shard_db(db0)
         self.engine.db = db0
@@ -298,6 +296,15 @@ class SpiralKvServer:
 
         with self.lock:
             db = np.load(os.path.join(path, "db_tensor.npy"))
+            if db.ndim == 6 and db.dtype == np.uint32:
+                # legacy pre-limb checkpoint: (inst, trials, crt, z, i, j)
+                # u32 -> current (crt, L, z, inst, trials, i, j) int8 limbs
+                from ..ops.spiral_jax import db_limbs_host
+
+                db = np.ascontiguousarray(np.moveaxis(db_limbs_host(
+                    self.params,
+                    np.ascontiguousarray(db.transpose(2, 3, 0, 1, 4, 5))),
+                    0, 1))
             assert db.shape == self.engine.db.shape, (
                 db.shape, self.engine.db.shape)
             db_dev = jnp.asarray(db)

@@ -31,20 +31,19 @@ def test_device_ingest_matches_host():
 def test_buffer_raw_vs_precomputed():
     import jax.numpy as jnp
 
+    from sdk_tpu.ops.server_jax import db_zeros_device
+
     params = get_fast_expansion_testing_params()
-    dim0, num_per = 1 << params.db_dim_1, 1 << params.db_dim_2
-    shape = (params.instances, params.n * params.n, params.crt_count,
-             params.poly_len, num_per, dim0)
 
     data = RNG.integers(0, 256, 100, dtype=np.uint64).astype(np.uint8).tobytes()
 
     b1 = DbUpdateBuffer(params)
     b1.upsert(7, convert_chunks_to_ntt(params, data))
-    db1 = b1.flush(jnp.zeros(shape, dtype=jnp.uint32))
+    db1 = b1.flush(db_zeros_device(params))
 
     b2 = DbUpdateBuffer(params)
     b2.upsert_raw(7, data)
-    db2 = b2.flush(jnp.zeros(shape, dtype=jnp.uint32))
+    db2 = b2.flush(db_zeros_device(params))
     np.testing.assert_array_equal(np.asarray(db1), np.asarray(db2))
 
 

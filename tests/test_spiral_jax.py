@@ -110,9 +110,10 @@ def test_firstdim_multiply_matches_host():
         [np.stack(v_reg)[:, :, 0, c, :] for c in range(2)]
     ).transpose(0, 3, 1, 2).astype(np.uint32))  # (crt, z, dim0, 2)
     f = jax.jit(lambda d, q: sj.firstdim_multiply(params, d, q))
-    got = np.asarray(f(db_dev[0, 0], q_arr)).astype(U64)
-    # (crt, z, num_per, 2) -> (num_per, 2, 1, crt, z)
-    got = got.transpose(2, 3, 0, 1)[:, :, None, :, :]
+    got = np.asarray(f(db_dev, q_arr)).astype(U64)
+    # (crt, z, inst, trials, num_per, 2): take inst 0, trial 0 ->
+    # (num_per, 2, 1, crt, z)
+    got = got[:, :, 0, 0].transpose(2, 3, 0, 1)[:, :, None, :, :]
     np.testing.assert_array_equal(got, want)
 
 
