@@ -85,21 +85,52 @@ def _inv_channel(x, w_tbl: np.ndarray, wp_tbl: np.ndarray, q: int):
     return op
 
 
+# Above this many polys per call, the 11 unrolled stages stop fitting
+# on-chip and every stage round-trips HBM (measured 2.17 us/poly at
+# batch 16384 vs 0.47 at 2048 on one v5e). Processing the batch in
+# lax.map chunks keeps each chunk's stages resident: 35.6 -> 14.0 ms at
+# batch 16384. Chunking only triggers when the batch divides evenly.
+_CHUNK_THRESHOLD = 4096
+_CHUNK_SIZES = (2048, 1024, 512)
+
+
+def _maybe_chunked(fn, x):
+    batch = int(np.prod(x.shape[:-2])) if x.ndim > 2 else 1
+    if batch <= _CHUNK_THRESHOLD:
+        return fn(x)
+    for ch in _CHUNK_SIZES:
+        if batch % ch == 0:
+            import jax
+
+            flat = x.reshape((batch // ch, ch) + x.shape[-2:])
+            out = jax.lax.map(fn, flat)
+            return out.reshape(x.shape[:-2] + out.shape[-2:])
+    return fn(x)
+
+
 def ntt_forward(params: Params, x):
     """x: (..., crt_count, poly_len) uint32 (values < 2^32, reduced lazily)."""
     tables = get_tables_u32(params)
-    chans = []
-    for c in range(params.crt_count):
-        w, wp, _, _ = tables[c]
-        chans.append(_fwd_channel(x[..., c, :], w, wp, params.moduli[c]))
-    return jnp.stack(chans, axis=-2)
+
+    def run(v):
+        chans = []
+        for c in range(params.crt_count):
+            w, wp, _, _ = tables[c]
+            chans.append(_fwd_channel(v[..., c, :], w, wp, params.moduli[c]))
+        return jnp.stack(chans, axis=-2)
+
+    return _maybe_chunked(run, x)
 
 
 def ntt_inverse(params: Params, x):
     """x: (..., crt_count, poly_len) uint32 → coefficients in [0, q_c)."""
     tables = get_tables_u32(params)
-    chans = []
-    for c in range(params.crt_count):
-        _, _, wi, wip = tables[c]
-        chans.append(_inv_channel(x[..., c, :], wi, wip, params.moduli[c]))
-    return jnp.stack(chans, axis=-2)
+
+    def run(v):
+        chans = []
+        for c in range(params.crt_count):
+            _, _, wi, wip = tables[c]
+            chans.append(_inv_channel(v[..., c, :], wi, wip, params.moduli[c]))
+        return jnp.stack(chans, axis=-2)
+
+    return _maybe_chunked(run, x)

@@ -197,8 +197,8 @@ class SpiralServerJax:
         inst, trials = cts.shape[:2]
         cts = cts.reshape((inst * trials,) + cts.shape[2:])[:, :, :, None, :, :]
         hi, lo = sj.from_ntt(params, cts)
-        h, l = jax.vmap(lambda a, b: sj.fold_ciphertexts(
-            params, a, b, v_folding, v_folding_neg))(hi, lo)
+        h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
+                                   v_folding_neg)
         shape = (inst, trials) + h.shape[1:]
         return h.reshape(shape), l.reshape(shape)
 
@@ -334,8 +334,8 @@ class SpiralServerJax:
             cts = cts.reshape((inst * trials,) + cts.shape[2:])[
                 :, :, :, None, :, :]
             hi, lo = sj.from_ntt(params, cts)
-            h, l = jax.vmap(lambda a, b: sj.fold_ciphertexts(
-                params, a, b, v_folding, v_folding_neg))(hi, lo)
+            h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
+                                       v_folding_neg)
             outs_h.append(h)
             outs_l.append(l)
         hi = jnp.stack(outs_h)                      # (NQ, IT, 2, 1, z)

@@ -122,8 +122,8 @@ class ShardedSpiralScan:
             cts = cts.reshape((inst * t_local,) + cts.shape[2:])[
                 :, :, :, None, :, :]
             hi, lo = sj.from_ntt(params, cts)
-            h, l = jax.vmap(lambda a, b: sj.fold_ciphertexts(
-                params, a, b, v_folding, v_folding_neg))(hi, lo)
+            h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
+                                       v_folding_neg)
             shape = (inst, t_local) + h.shape[1:]
             return h.reshape(shape), l.reshape(shape)
 
@@ -160,8 +160,8 @@ class ShardedSpiralScan:
                 cts = cts.reshape((inst * t_local,) + cts.shape[2:])[
                     :, :, :, None, :, :]
                 hi, lo = sj.from_ntt(params, cts)
-                h, l = jax.vmap(lambda a, b: sj.fold_ciphertexts(
-                    params, a, b, v_folding, v_folding_neg))(hi, lo)
+                h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
+                                           v_folding_neg)
                 outs_h.append(h)
                 outs_l.append(l)
             hi = jnp.stack(outs_h)                  # (NQ, IT_local, 2, 1, z)

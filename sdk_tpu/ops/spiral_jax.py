@@ -15,7 +15,8 @@ carried either as per-CRT-channel uint32 residues (NTT domain) or as
 Layout conventions (batch dims lead, poly axis last):
   NTT matrix   : (rows, cols, crt, poly_len) uint32
   raw matrix   : pair of (rows, cols, poly_len) uint32 (hi, lo)
-  DB tensor    : (instances, trials, crt, poly_len, num_per, dim0) uint32
+  DB tensor    : (crt, NUM_LIMBS, poly_len, instances, trials, num_per, dim0)
+                 int8 7-bit limb planes (see firstdim_multiply)
   firstdim qry : (crt, poly_len, dim0, 2) uint32
 """
 
@@ -44,12 +45,12 @@ from .modops import (
     u64_const_sub,
 )
 
-# NTT implementation switch: butterfly (default) or the four-step MXU
-# formulation (SDK_TPU_NTT=fourstep) — bit-exact alternatives.
-if os.environ.get("SDK_TPU_NTT") == "fourstep":
-    from .ntt_fourstep import ntt_forward, ntt_inverse
-else:
-    from .ntt_jax import ntt_forward, ntt_inverse
+# NTT: 32-bit-lane Harvey butterflies with batch chunking (ntt_jax). A
+# four-step MXU (matmul) formulation existed as a bit-exact alternative but
+# profiled SLOWER on-device at every batch size (2.1-3.9 vs 0.5-0.9 us/poly
+# roundtrip at batches 256..16384 on one v5e) and was removed — the limb
+# matmuls cost more than the VPU butterflies for 2048-pt transforms.
+from .ntt_jax import ntt_forward, ntt_inverse
 
 LIMB_BITS = 7
 NUM_LIMBS = 4  # 4 x 7 = 28 bits covers both CRT moduli (q < 2^28)
@@ -570,8 +571,9 @@ def get_v_folding_neg(params: Params, v_folding, gadget_ntt_u32):
 
 
 def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
-    """cts: (num_per, 2, 1, n) raw pairs; GSW-driven binary fold, returns
-    (2, 1, n) raw pair.
+    """cts: (..., num_per, 2, 1, n) raw pairs (optional leading batch dims —
+    trials fold jointly so the NTT chunker sees the full batch); GSW-driven
+    binary fold, returns (..., 2, 1, n) raw pairs.
 
     Implements the reference's sparse-DB all-zero shortcut (lib/server
     fold.rs:37-44, "crucial for correctness") as vectorized masks: a round's
@@ -582,16 +584,18 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
     true zero. The masks cost two small reductions; the GSW products still
     run dense (no dynamic shapes under jit)."""
     further_dims = params.db_dim_2
-    num_per = cts_hi.shape[0]
+    num_per = cts_hi.shape[-4]
     if num_per == 1:
-        return cts_hi[0], cts_lo[0]
+        return cts_hi[..., 0, :, :, :], cts_lo[..., 0, :, :, :]
     ell = 2 * params.t_gsw
     for cur_dim in range(further_dims):
         num_per //= 2
-        a_hi, a_lo = cts_hi[:num_per], cts_lo[:num_per]
-        b_hi, b_lo = cts_hi[num_per : 2 * num_per], cts_lo[num_per : 2 * num_per]
-        za = jnp.all((a_hi == 0) & (a_lo == 0), axis=(1, 2, 3))  # (num_per,)
-        zb = jnp.all((b_hi == 0) & (b_lo == 0), axis=(1, 2, 3))
+        a_hi = cts_hi[..., :num_per, :, :, :]
+        a_lo = cts_lo[..., :num_per, :, :, :]
+        b_hi = cts_hi[..., num_per : 2 * num_per, :, :, :]
+        b_lo = cts_lo[..., num_per : 2 * num_per, :, :, :]
+        za = jnp.all((a_hi == 0) & (a_lo == 0), axis=(-3, -2, -1))
+        zb = jnp.all((b_hi == 0) & (b_lo == 0), axis=(-3, -2, -1))
         ginv_a = gadget_digits(params, a_hi, a_lo, ell, 2)
         ginv_b = gadget_digits(params, b_hi, b_lo, ell, 2)
         ga_ntt = to_ntt(params, *_pair_id(ginv_a, params))
@@ -600,11 +604,11 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
         prod = matmul_mod(params, v_folding_neg[key], ga_ntt)
         summ = matmul_mod(params, v_folding[key], gb_ntt)
         f_hi, f_lo = from_ntt(params, add_mod(params, summ, prod))
-        za = za[:, None, None, None]
-        zb = zb[:, None, None, None]
+        za = za[..., None, None, None]
+        zb = zb[..., None, None, None]
         cts_hi = jnp.where(za, b_hi, jnp.where(zb, a_hi, f_hi))
         cts_lo = jnp.where(za, b_lo, jnp.where(zb, a_lo, f_lo))
-    return cts_hi[0], cts_lo[0]
+    return cts_hi[..., 0, :, :, :], cts_lo[..., 0, :, :, :]
 
 
 def pack(params: Params, v_ct_hi, v_ct_lo, v_packing):

@@ -53,3 +53,25 @@ def test_lazy_input_accepted():
     got = jax.jit(lambda a: ntt_jax.ntt_forward(PARAMS, a))(
         jnp.asarray(x64.astype(np.uint32)))
     np.testing.assert_array_equal(np.asarray(got).astype(np.uint64), want)
+
+
+def test_ntt_chunked_matches_unchunked():
+    """Batches above the chunk threshold run as lax.map chunks (keeps the 11
+    stages on-chip); results must be identical to the direct form."""
+    params = PARAMS
+    B = 6144  # > _CHUNK_THRESHOLD, divisible by 2048
+    rng = np.random.default_rng(12)
+    x = np.empty((B, params.crt_count, params.poly_len), dtype=np.uint32)
+    for c, q in enumerate(params.moduli):
+        x[:, c] = rng.integers(0, q, (B, params.poly_len), dtype=np.uint64)
+    xj = jnp.asarray(x)
+    fwd = np.asarray(jax.jit(lambda v: ntt_jax.ntt_forward(params, v))(xj))
+    inv = np.asarray(jax.jit(lambda v: ntt_jax.ntt_inverse(params, jnp.asarray(fwd)))(jnp.asarray(fwd)))
+    # direct (unchunked) reference on a slice-by-slice basis
+    for lo_idx in (0, 2048, B - 2048):
+        sl = xj[lo_idx:lo_idx + 8]
+        want_f = np.asarray(jax.jit(lambda v: ntt_jax.ntt_forward(params, v))(sl))
+        np.testing.assert_array_equal(fwd[lo_idx:lo_idx + 8], want_f)
+    np.testing.assert_array_equal(inv % np.uint32(1 << 31), inv)  # reduced
+    sl_inv = np.asarray(jax.jit(lambda v: ntt_jax.ntt_inverse(params, v))(jnp.asarray(fwd[:8])))
+    np.testing.assert_array_equal(inv[:8], sl_inv)
