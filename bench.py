@@ -45,23 +45,24 @@ def main():
     def gen():
         key = jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
-        chans_db, chans_q = [], []
+        planes, chans_q = [], []
         for c, q in enumerate(params.moduli):
             u32 = jax.random.randint(
                 jax.random.fold_in(k1, c),
                 (params.poly_len, 1, trials, num_per, dim0),
                 0, q, dtype=jnp.uint32)
-            chans_db.append(jnp.stack(
-                [((u32 >> jnp.uint32(7 * k)) & jnp.uint32(127)).astype(jnp.int8)
-                 for k in range(sj.NUM_LIMBS)]))
+            for k in range(sj.NUM_LIMBS):
+                planes.append(
+                    ((u32 >> jnp.uint32(7 * k)) & jnp.uint32(127))
+                    .astype(jnp.int8))
             chans_q.append(jax.random.randint(
                 jax.random.fold_in(k2, c), (params.poly_len, dim0, R),
                 0, q, dtype=jnp.uint32))
-        # (crt, L, z, inst=1, trials, num_per, dim0) int8
-        return jnp.stack(chans_db, axis=0), jnp.stack(chans_q, axis=0)
+        # tuple of crt*L planes (z, inst=1, trials, num_per, dim0) int8
+        return tuple(planes), jnp.stack(chans_q, axis=0)
 
     db_dev, q_dev = gen()
-    db_dev.block_until_ready()
+    jax.block_until_ready(db_dev)
 
     @jax.jit
     def scan(db, q_arr):

@@ -152,23 +152,29 @@ class DbUpdateBuffer:
             self.pending_raw.clear()
 
         idxs = sorted(self.pending)
-        # (K, inst*trials, crt, poly_len) -> limbs (crt, L, z, inst, trials, K)
+        # (K, inst*trials, crt, poly_len) -> per-plane (z, inst, trials, K)
         vals = np.stack([self.pending[i] for i in idxs])
         K = len(idxs)
         vals = vals.reshape(K, params.instances, params.n * params.n,
                             params.crt_count, params.poly_len)
         vals = np.ascontiguousarray(vals.transpose(3, 4, 1, 2, 0))
-        vals = np.ascontiguousarray(
-            np.moveaxis(db_limbs_host(params, vals), 0, 1))
+        # (L, crt, z, inst, trials, K) int8
+        limbs = db_limbs_host(params, vals)
+        plane_vals = tuple(
+            jnp.asarray(limbs[k, c])
+            for c in range(params.crt_count)
+            for k in range(limbs.shape[0]))
         ii = np.array([i % num_per for i in idxs])   # num_per coordinate
         jj = np.array([i // num_per for i in idxs])  # dim0 coordinate
-        # donate the DB buffer: the scatter must not hold two copies of a
+        # donate the DB buffers: the scatter must not hold two copies of a
         # multi-GB index in HBM (the caller immediately replaces its ref)
         if self._jit_scatter is None:
             self._jit_scatter = jax.jit(
-                lambda d, v, i1, j1: d.at[:, :, :, :, :, i1, j1].set(v),
+                lambda planes, v, i1, j1: tuple(
+                    p.at[:, :, :, i1, j1].set(vc)
+                    for p, vc in zip(planes, v)),
                 donate_argnums=0)
-        db = self._jit_scatter(db, jnp.asarray(vals), jnp.asarray(ii),
+        db = self._jit_scatter(db, plane_vals, jnp.asarray(ii),
                                jnp.asarray(jj))
         self.pending.clear()
         return db

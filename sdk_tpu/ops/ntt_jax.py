@@ -87,25 +87,33 @@ def _inv_channel(x, w_tbl: np.ndarray, wp_tbl: np.ndarray, q: int):
 
 # Above this many polys per call, the 11 unrolled stages stop fitting
 # on-chip and every stage round-trips HBM (measured 2.17 us/poly at
-# batch 16384 vs 0.47 at 2048 on one v5e). Processing the batch in
-# lax.map chunks keeps each chunk's stages resident: 35.6 -> 14.0 ms at
-# batch 16384. Chunking only triggers when the batch divides evenly.
-_CHUNK_THRESHOLD = 4096
-_CHUNK_SIZES = (2048, 1024, 512)
+# batch 16384 and ~2x degradation already at 3584, vs 0.47 at 2048 on one
+# v5e). Processing the batch in lax.map chunks keeps each chunk's stages
+# resident: 35.6 -> 14.0 ms at batch 16384. Non-divisible batches are
+# zero-padded to the next chunk multiple (the padded polys' work is bounded
+# by one chunk and far cheaper than spilling).
+_CHUNK_THRESHOLD = 1024
+_CHUNK_SIZES = (1024, 512)
 
 
 def _maybe_chunked(fn, x):
     batch = int(np.prod(x.shape[:-2])) if x.ndim > 2 else 1
     if batch <= _CHUNK_THRESHOLD:
         return fn(x)
+    import jax
+
     for ch in _CHUNK_SIZES:
         if batch % ch == 0:
-            import jax
-
             flat = x.reshape((batch // ch, ch) + x.shape[-2:])
             out = jax.lax.map(fn, flat)
             return out.reshape(x.shape[:-2] + out.shape[-2:])
-    return fn(x)
+    ch = 1024
+    pad = (-batch) % ch
+    flat = x.reshape((batch,) + x.shape[-2:])
+    flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0)))
+    out = jax.lax.map(fn, flat.reshape((-1, ch) + x.shape[-2:]))
+    out = out.reshape((batch + pad,) + out.shape[-2:])[:batch]
+    return out.reshape(x.shape[:-2] + out.shape[-2:])
 
 
 def ntt_forward(params: Params, x):

@@ -39,25 +39,33 @@ def _join_pair_np(hi: np.ndarray, lo: np.ndarray):
 
 def db_tensor_to_device(params: Params, db_host: np.ndarray):
     """Host DB tensor (inst, trials, poly_len, crt, num_per, dim0) u64 ->
-    device int8 limb tensor (crt, NUM_LIMBS, z, inst, trials, num_per, dim0).
+    device limb planes: a tuple of crt*NUM_LIMBS int8 arrays, each
+    (z, inst, trials, num_per, dim0); plane c*NUM_LIMBS+k = limb k of CRT
+    channel c.
 
-    The limb decompose happens host-side so only the final int8 tensor (same
-    bytes as the u32 residues) is resident in HBM — a device-side decompose
-    would briefly double the multi-GB index. (crt, limb) lead the layout so
-    each scan einsum slices a contiguous plane (no XLA repack copies)."""
+    The limb decompose happens host-side so only the final int8 planes
+    (same total bytes as the u32 residues) are resident in HBM — a
+    device-side decompose would briefly double the multi-GB index. The
+    planes are SEPARATE arrays, not one stacked tensor: slicing planes out
+    of a stacked device tensor made XLA re-copy the plane per scan
+    (see sj.firstdim_multiply)."""
+    # (crt, z, inst, trials, num_per, dim0) u32
     u32 = np.ascontiguousarray(
         db_host.transpose(3, 2, 0, 1, 4, 5)).astype(np.uint32)
-    return jnp.asarray(np.ascontiguousarray(
-        np.moveaxis(sj.db_limbs_host(params, u32), 0, 1)))
+    return tuple(
+        jnp.asarray(((u32[c] >> np.uint32(sj.LIMB_BITS * k))
+                     & np.uint32(127)).astype(np.int8))
+        for c in range(params.crt_count) for k in range(sj.NUM_LIMBS))
 
 
 def db_zeros_device(params: Params):
-    """Empty device DB in the limb storage layout."""
+    """Empty device DB in the limb-plane storage layout."""
     dim0 = 1 << params.db_dim_1
     num_per = 1 << params.db_dim_2
-    return jnp.zeros(
-        (params.crt_count, sj.NUM_LIMBS, params.poly_len, params.instances,
-         params.n * params.n, num_per, dim0), dtype=jnp.int8)
+    shape = (params.poly_len, params.instances, params.n * params.n,
+             num_per, dim0)
+    return tuple(jnp.zeros(shape, dtype=jnp.int8)
+                 for _ in range(params.crt_count * sj.NUM_LIMBS))
 
 
 def pp_to_device(params: Params, pp: PublicParameters) -> dict:
@@ -186,8 +194,8 @@ class SpiralServerJax:
         return q_arr, v_folding
 
     def _scan_fold_impl(self, db, q_arr, v_folding):
-        """db: (crt, L, z, inst, trials, num_per, dim0) int8 limbs. Returns
-        folded raw cts (inst, trials, 2, 1, poly_len) pairs."""
+        """db: tuple of crt*L limb planes (z, inst, trials, num_per, dim0)
+        int8. Returns folded raw cts (inst, trials, 2, 1, poly_len) pairs."""
         params = self.params
         v_folding_neg = sj.get_v_folding_neg(params, v_folding,
                                              self.gadget_ntt_u32)

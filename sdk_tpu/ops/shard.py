@@ -97,8 +97,10 @@ class ShardedSpiralScan:
         self.mesh = mesh
         self.gadget_ntt_u32 = gadget_ntt_u32
 
-        # limb layout: (crt, L, z, inst, trials, num_per, dim0)
-        db_spec = P(None, None, None, None, "dp", None, "db")
+        # limb planes: tuple of crt*L arrays (z, inst, trials, num_per, dim0)
+        plane_spec = P(None, None, "dp", None, "db")
+        db_spec = tuple(plane_spec
+                        for _ in range(params.crt_count * sj.NUM_LIMBS))
         q_spec = P(None, None, "db", None)
         fold_spec = P()  # replicated (small)
         out_spec = (P(None, "dp"), P(None, "dp"))
@@ -172,10 +174,11 @@ class ShardedSpiralScan:
         self.scan_fold_batched = jax.jit(scan_fold_batched)
 
     def shard_db(self, db):
-        """Place a (crt, L, z, inst, trials, num_per, dim0) limb array onto
-        the mesh with the scan sharding."""
-        spec = P(None, None, None, None, "dp", None, "db")
-        return jax.device_put(db, jax.sharding.NamedSharding(self.mesh, spec))
+        """Place the tuple of limb planes (z, inst, trials, num_per, dim0)
+        onto the mesh with the scan sharding."""
+        spec = P(None, None, "dp", None, "db")
+        sh = jax.sharding.NamedSharding(self.mesh, spec)
+        return tuple(jax.device_put(p, sh) for p in db)
 
 
 class DoublePirShardedScan:

@@ -244,31 +244,38 @@ def db_limbs_host(params: Params, db_u32: np.ndarray) -> np.ndarray:
          for k in range(NUM_LIMBS)])
 
 
-def firstdim_multiply(params: Params, db_limbs, q_arr):
+def firstdim_multiply(params: Params, db_planes, q_arr):
     """Encrypted-query x DB matvec (reference compute/dot_product.rs).
 
-    db_limbs: (crt, NUM_LIMBS, z, inst, trials, num_per, dim0) int8 — the
-              DB residues stored PRE-DECOMPOSED into 7-bit limbs (the
-              storage format: same bytes as u32, but the scan streams each
-              limb plane from HBM exactly once instead of XLA materializing
-              a decomposed copy; measured 5.9x faster single-query).
-    q_arr:    (crt, z, dim0, R) uint32 (R = 2 rows x batched queries)
+    db_planes: tuple of crt_count*NUM_LIMBS arrays, each
+               (z, inst, trials, num_per, dim0) int8 — plane index
+               c*NUM_LIMBS + k holds limb k of CRT channel c. The DB is
+               stored PRE-DECOMPOSED into 7-bit limbs (same total bytes as
+               u32) and as SEPARATE plane arrays: slicing planes out of one
+               stacked tensor made XLA pick a layout that re-copied the
+               plane per scan (2.3x slower per byte measured on v5e); as
+               standalone parameters each plane streams at ~500 GB/s.
+    q_arr:     (crt, z, dim0, R) uint32 (R = 2 rows x batched queries)
     Returns (crt, z, inst, trials, num_per, R) uint32, exact mod q_c.
 
-    Query limbs stack into the matmul N dimension (N = NUM_LIMBS*R) so each
-    DB limb plane feeds ONE int8 MXU matmul with M = inst*trials*num_per
-    rows; limb partials regroup by weight s=k+l (int32 sums < 2^27) and
-    recombine with Shoup multiplications by (2^(7s) mod q), sum < 14q < 2^32.
+    Query limbs stack into the matmul N dimension (N = NUM_LIMBS*R) and the
+    trial axes merge into one flat (z*inst*trials) GEMM batch with the
+    query explicitly repeated per trial (broadcast-batch einsum forms also
+    measured ~2.3x slower). Limb partials regroup by weight s=k+l (int32
+    sums < 2^27) and recombine with Shoup multiplications by
+    (2^(7s) mod q), sum < 14q < 2^32.
     """
-    crt, L, Z, inst, trials, npr, dim0 = db_limbs.shape
+    Z, inst, trials, npr, dim0 = db_planes[0].shape
     R = q_arr.shape[-1]
-    M = inst * trials * npr
+    IT = inst * trials
     out_ch = []
     for c, q in enumerate(params.moduli):
         q_limbs = _to_limbs_i8(q_arr[c])                 # each (z, j, r) int8
         q_stack = jnp.concatenate(q_limbs, axis=-1)      # (z, j, L*R)
-        parts = [jnp.einsum("zmj,zjr->zmr",
-                            db_limbs[c, k].reshape(Z, M, dim0), q_stack,
+        q_rep = jnp.repeat(q_stack, IT, axis=0)          # (z*IT, j, L*R)
+        parts = [jnp.einsum("zij,zjr->zir",
+                            db_planes[c * NUM_LIMBS + k].reshape(
+                                Z * IT, npr, dim0), q_rep,
                             preferred_element_type=jnp.int32)
                  for k in range(NUM_LIMBS)]
         partials = [None] * (2 * NUM_LIMBS - 1)

@@ -217,7 +217,9 @@ class SpiralKvServer:
         with self.lock:
             for r in self.rows:
                 r.clear()
-            db0 = jnp.zeros_like(self.engine.db)
+            import jax
+
+            db0 = jax.tree.map(jnp.zeros_like, self.engine.db)
             if self.engine._sharded is not None:
                 db0 = self.engine._sharded.shard_db(db0)
             self.engine.db = db0
@@ -275,7 +277,7 @@ class SpiralKvServer:
         with self.lock:
             self._flush()
             np.save(os.path.join(path, "db_tensor.npy"),
-                    np.asarray(self.engine.db))
+                    np.stack([np.asarray(p) for p in self.engine.db]))
             with open(os.path.join(path, "rows.pkl"), "wb") as f:
                 pickle.dump([bytes(r) for r in self.rows], f)
             state = {"version": self.version,
@@ -295,19 +297,26 @@ class SpiralKvServer:
         import jax.numpy as jnp
 
         with self.lock:
+            from ..ops.spiral_jax import NUM_LIMBS, db_limbs_host
+
             db = np.load(os.path.join(path, "db_tensor.npy"))
+            crt = self.params.crt_count
             if db.ndim == 6 and db.dtype == np.uint32:
                 # legacy pre-limb checkpoint: (inst, trials, crt, z, i, j)
-                # u32 -> current (crt, L, z, inst, trials, i, j) int8 limbs
-                from ..ops.spiral_jax import db_limbs_host
-
-                db = np.ascontiguousarray(np.moveaxis(db_limbs_host(
-                    self.params,
-                    np.ascontiguousarray(db.transpose(2, 3, 0, 1, 4, 5))),
-                    0, 1))
-            assert db.shape == self.engine.db.shape, (
-                db.shape, self.engine.db.shape)
-            db_dev = jnp.asarray(db)
+                # u32 -> limb planes
+                u32 = np.ascontiguousarray(db.transpose(2, 3, 0, 1, 4, 5))
+                limbs = db_limbs_host(self.params, u32)  # (L, crt, z, ...)
+                planes = tuple(limbs[k, c] for c in range(crt)
+                               for k in range(limbs.shape[0]))
+            else:
+                # current format: stacked (crt*L, z, inst, trials, i, j) int8
+                assert db.ndim == 6 and db.dtype == np.int8, (
+                    db.shape, db.dtype)
+                planes = tuple(db[i] for i in range(db.shape[0]))
+            assert len(planes) == crt * NUM_LIMBS
+            assert planes[0].shape == self.engine.db[0].shape, (
+                planes[0].shape, self.engine.db[0].shape)
+            db_dev = tuple(jnp.asarray(p) for p in planes)
             if self.engine._sharded is not None:
                 db_dev = self.engine._sharded.shard_db(db_dev)
             self.engine.db = db_dev

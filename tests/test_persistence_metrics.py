@@ -25,8 +25,8 @@ def test_save_restore_spiral_index(tmp_path):
 
     srv2 = SpiralKvServer(params, cfg, key_storage_policy="full")
     srv2.restore_from_dir(str(tmp_path / "ckpt"))
-    np.testing.assert_array_equal(np.asarray(srv2.engine.db),
-                                  np.asarray(srv.engine.db))
+    for p2, p1 in zip(srv2.engine.db, srv.engine.db):
+        np.testing.assert_array_equal(np.asarray(p2), np.asarray(p1))
     assert srv2.version == srv.version
     assert [bytes(r) for r in srv2.rows] == [bytes(r) for r in srv.rows]
     assert srv2.list_keys() == ["k1", "k2"]
