@@ -3,15 +3,8 @@ be bit-identical to single-device serving (the chunk-and-reduce pattern as a
 real collective)."""
 
 import numpy as np
-import pytest
 
-from sdk_tpu import poly, server_host
-from sdk_tpu.arith import log2_ceil
-from sdk_tpu.client import Client, PublicParameters, Query
-from sdk_tpu.ops.server_jax import SpiralServerJax
 from sdk_tpu.ops.shard import DoublePirShardedScan, make_mesh, psum_mod
-from sdk_tpu.params import get_fast_expansion_testing_params
-from sdk_tpu.rng import ChaCha20Rng
 
 RNG = np.random.default_rng(23)
 
@@ -40,31 +33,12 @@ def test_psum_mod_exact():
 
 
 def test_spiral_sharded_matches_single_device():
-    params = get_fast_expansion_testing_params()
-    target_idx = 41 % params.num_items()
-    client = Client(params)
-    pp = client.generate_keys_from_seed(
-        b"\x31" * 32, noise_rng=ChaCha20Rng(b"\x32" * 32), pp_seed=b"\x33" * 32)
-    pp2 = PublicParameters.deserialize(params, pp.serialize(params))
-    query = client.generate_query(
-        target_idx, noise_rng=ChaCha20Rng(b"\x34" * 32), query_seed=b"\x35" * 32)
-    q2 = Query.deserialize(params, query.serialize(params))
-    item, db = server_host.generate_random_db_and_get_item(params, target_idx)
+    # Shared with __graft_entry__.dryrun_multichip (the driver's multi-chip
+    # artifact): full protocol, trials over dp=2, dim0 rows over db=4,
+    # response byte-identical to single-device + client decode bit-exact.
+    from sdk_tpu.selfcheck import sharded_protocol_check
 
-    single = SpiralServerJax(params)
-    single.set_db_host_tensor(db)
-    want = single.process_query(pp2, q2)
-
-    mesh = make_mesh(8, dp=2)   # trials over dp=2, dim0 rows over db=4
-    sharded = SpiralServerJax(params, mesh=mesh)
-    sharded.set_db_host_tensor(db)
-    got = sharded.process_query(pp2, q2)
-
-    assert got == want
-    result = client.decode_response(got)
-    p_bits = log2_ceil(params.pt_modulus)
-    corr = poly.raw_to_bytes(params, item, p_bits, params.modp_words_per_chunk())
-    assert result == corr
+    sharded_protocol_check(8, dp=2)
 
 
 def test_doublepir_sharded_firstlevel_matches_host():
