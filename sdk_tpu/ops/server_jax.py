@@ -101,6 +101,9 @@ class SpiralServerJax:
         self.gadget_ntt_u32 = g.astype(np.uint32)
         self.db = None
         self.mesh = mesh
+        from .encode_jax import ResponseEncodePlan
+
+        self._encode_plan = ResponseEncodePlan(params)
         self._jit_expand = jax.jit(self._expand_impl)
         if mesh is not None:
             from .shard import ShardedSpiralScan
@@ -223,6 +226,13 @@ class SpiralServerJax:
             outs_l.append(l)
         return jnp.stack(outs_h), jnp.stack(outs_l)
 
+    def _pack_encode_impl(self, folded_hi, folded_lo, v_packing):
+        """pack + on-device rescale/bit-pack encode: returns the wire
+        response as u32 words (little-endian bytes) so only ~num_bytes
+        leave the device instead of the raw packed ct pairs."""
+        p_hi, p_lo = self._pack_impl(folded_hi, folded_lo, v_packing)
+        return self._encode_plan.encode(p_hi, p_lo)
+
     # -- host orchestration --
 
     def expand_query(self, pp_dev: dict, query: Query):
@@ -258,11 +268,12 @@ class SpiralServerJax:
 
     def _full_impl(self, db, ct0_hi, ct0_lo, v_exp_left, v_exp_right, v_conv,
                    v_packing):
-        """Whole query pipeline as ONE traced program (single dispatch)."""
+        """Whole query pipeline as ONE traced program (single dispatch),
+        returning the wire response as u32 words (device-side encode)."""
         q_arr, v_folding = self._expand_impl(ct0_hi, ct0_lo, v_exp_left,
                                              v_exp_right, v_conv)
         f_hi, f_lo = self._scan_fold_impl(db, q_arr, v_folding)
-        return self._pack_impl(f_hi, f_lo, v_packing)
+        return self._pack_encode_impl(f_hi, f_lo, v_packing)
 
     def _full_sparse_impl(self, db, ct0_hi, ct0_lo, v_exp_left, v_exp_right,
                           v_conv, v_packing, *sched_args):
@@ -271,7 +282,7 @@ class SpiralServerJax:
         q_arr, v_folding = self._expand_sparse_impl(
             ct0_hi, ct0_lo, v_exp_left, v_exp_right, v_conv, *sched_args)
         f_hi, f_lo = self._scan_fold_impl(db, q_arr, v_folding)
-        return self._pack_impl(f_hi, f_lo, v_packing)
+        return self._pack_encode_impl(f_hi, f_lo, v_packing)
 
     def process_query(self, pp: PublicParameters | dict, query: Query) -> bytes:
         from ..telemetry import GLOBAL_TIMERS as T
@@ -288,7 +299,7 @@ class SpiralServerJax:
                 if self._splan is not None:
                     if not hasattr(self, "_jit_full_sparse"):
                         self._jit_full_sparse = jax.jit(self._full_sparse_impl)
-                    p_hi, p_lo = self._jit_full_sparse(
+                    words = self._jit_full_sparse(
                         self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
                         pp_dev["v_exp_left"], pp_dev["v_exp_right"],
                         pp_dev["v_conversion"], pp_dev["v_packing"],
@@ -296,13 +307,11 @@ class SpiralServerJax:
                 else:
                     if not hasattr(self, "_jit_full"):
                         self._jit_full = jax.jit(self._full_impl)
-                    p_hi, p_lo = self._jit_full(
+                    words = self._jit_full(
                         self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
                         pp_dev["v_exp_left"], pp_dev["v_exp_right"],
                         pp_dev["v_conversion"], pp_dev["v_packing"])
-                packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
-            with T.stage("encode"):
-                return encode_response(params, packed)
+                return self._encode_plan.to_bytes(words)
         with T.stage("expand"):
             q_arr, v_folding = self.query_to_device(pp_dev, query)
         with T.stage("scan_fold"):
@@ -313,11 +322,11 @@ class SpiralServerJax:
             # localize noise failures (reference server.rs:713-729)
             ct = _join_pair_np(np.asarray(f_hi[0, 0]), np.asarray(f_lo[0, 0]))
             check_folded_ct(params, ct)
-        with T.stage("pack"):
-            p_hi, p_lo = self._jit_pack(f_hi, f_lo, pp_dev["v_packing"])
-            packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
-        with T.stage("encode"):
-            return encode_response(params, packed)
+        with T.stage("pack_encode"):
+            if not hasattr(self, "_jit_pack_encode"):
+                self._jit_pack_encode = jax.jit(self._pack_encode_impl)
+            words = self._jit_pack_encode(f_hi, f_lo, pp_dev["v_packing"])
+            return self._encode_plan.to_bytes(words)
 
     # -- batched serving: amortize one DB pass over many queries --
 
@@ -372,11 +381,13 @@ class SpiralServerJax:
                 self._jit_batched = jax.jit(self._scan_fold_batched_impl)
             f_hi, f_lo = self._jit_batched(self.db, jnp.stack(q_arrs),
                                            jnp.stack(v_folds))
+        if not hasattr(self, "_jit_pack_encode"):
+            self._jit_pack_encode = jax.jit(self._pack_encode_impl)
         out = []
         for i, pp_dev in enumerate(pps):
-            p_hi, p_lo = self._jit_pack(f_hi[i], f_lo[i], pp_dev["v_packing"])
-            packed = _join_pair_np(np.asarray(p_hi), np.asarray(p_lo))
-            out.append(encode_response(params, packed))
+            words = self._jit_pack_encode(f_hi[i], f_lo[i],
+                                          pp_dev["v_packing"])
+            out.append(self._encode_plan.to_bytes(words))
         return out
 
 
