@@ -42,13 +42,28 @@ import sys
 import threading
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import ThreadingHTTPServer
 
 from ..arith import log2_ceil
 from ..kv.key_value import row_from_key
 from ..kv.write import compress_row, unwrap_kv_pairs, update_row
 from ..params import Params, params_from_json, params_to_json_obj
-from .http import parse_multipart_file
+from .http import make_routes_handler
+
+
+class BackendError(RuntimeError):
+    """One or more backends failed a fan-out. The shared HTTP handler maps
+    this to a 502 with per-backend diagnostics so the client can tell a
+    routing failure from a compute error."""
+
+    http_status = 502
+
+    def __init__(self, failures: dict[str, str]):
+        self.failures = failures
+        self.http_details = {"failed_backends": failures}
+        super().__init__(
+            "backend fan-out failed: "
+            + "; ".join(f"{u}: {e}" for u, e in failures.items()))
 
 
 def backend_params_obj(params: Params, num_backends: int) -> dict:
@@ -79,10 +94,18 @@ class DcnFrontend:
 
     def __init__(self, params: Params, backend_urls: list[str],
                  params_json: str | None = None,
-                 key_storage_policy: str = "bloom"):
+                 key_storage_policy: str = "bloom",
+                 backend_timeout_s: float = 900.0):
+        # timeout default is generous: a backend's first read after restart
+        # may cold-compile the pipeline (minutes on a small host). Dead
+        # backends are still detected instantly via connection-refused.
         self.params = params
         self.params_json = params_json or json.dumps(params_to_json_obj(params))
         self.urls = [u.rstrip("/") for u in backend_urls]
+        self.backend_timeout_s = backend_timeout_s
+        # raw client public params by uuid, kept so a restarted (stateless)
+        # backend can be resynced without a client round trip
+        self._setups: dict[str, bytes] = {}
         self.inst_per = params.instances // len(self.urls)
         backend_params_obj(params, len(self.urls))  # validates divisibility
         self.rows: list[bytearray] = [bytearray()
@@ -107,13 +130,27 @@ class DcnFrontend:
         req = urllib.request.Request(
             url + path, data=data,
             headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req) as r:
+        with urllib.request.urlopen(req, timeout=self.backend_timeout_s) as r:
             return r.read()
 
-    def _fanout(self, path: str, data: bytes) -> list[bytes]:
-        futs = [self._pool.submit(self._post, u, path, data)
-                for u in self.urls]
-        return [f.result() for f in futs]
+    def _fanout(self, path: str, data: bytes | list[bytes]) -> list[bytes]:
+        """POST to every backend concurrently (per-backend body when `data`
+        is a list). Waits for ALL backends, then raises BackendError naming
+        every failed URL — a single dead host must not mask another's error
+        or leave requests in flight."""
+        bodies = data if isinstance(data, list) else [data] * len(self.urls)
+        futs = [self._pool.submit(self._post, u, path, b)
+                for u, b in zip(self.urls, bodies)]
+        results, failures = [], {}
+        for u, f in zip(self.urls, futs):
+            try:
+                results.append(f.result())
+            except Exception as e:  # noqa: BLE001 — collected per-backend
+                results.append(None)
+                failures[u] = f"{type(e).__name__}: {e}"
+        if failures:
+            raise BackendError(failures)
+        return results
 
     # --- writes (front end owns the KV layer; backends get raw slices) ---
 
@@ -150,11 +187,12 @@ class DcnFrontend:
             raise ValueError(f"row {db_idx} too large: {len(data)} > {full}")
         padded = bytes(data) + bytes(full - len(data))
         seg = self.inst_per * trials * bpc
-        for b, url in enumerate(self.urls):
+        bodies = []
+        for b in range(len(self.urls)):
             chunk = padded[b * seg:(b + 1) * seg]
-            body = (len(chunk) + 4).to_bytes(4, "big") + \
-                db_idx.to_bytes(4, "big") + chunk
-            self._pool.submit(self._post, url, "/update-row", body).result()
+            bodies.append((len(chunk) + 4).to_bytes(4, "big")
+                          + db_idx.to_bytes(4, "big") + chunk)
+        self._fanout("/update-row", bodies)
 
     def update_item(self, body: bytes) -> None:
         db_idx = int.from_bytes(body[:4], "big")
@@ -183,25 +221,38 @@ class DcnFrontend:
         return uid
 
     def setup_raw(self, raw: bytes, uid: str) -> str:
-        body = json.dumps(base64.b64encode(raw).decode()).encode()
-        futs = [self._pool.submit(self._post, u, f"/setup?uuid={uid}", body)
-                for u in self.urls]
-        for f in futs:
-            f.result()
+        self._fanout(f"/setup?uuid={uid}", json.dumps(
+            base64.b64encode(raw).decode()).encode())
+        self._setups[uid] = raw
         return uid
 
     def has_uuid(self, uid: str) -> bool:
         for u in self.urls:
             try:
                 req = urllib.request.Request(f"{u}/{uid}/check")
-                with urllib.request.urlopen(req) as r:
+                with urllib.request.urlopen(
+                        req, timeout=self.backend_timeout_s) as r:
                     if not json.loads(r.read()).get("found", False):
                         return False
             except Exception:  # noqa: BLE001
                 return False
         return True
 
-    def private_read(self, body: bytes) -> bytes:
+    def resync(self, backend_index: int) -> None:
+        """Re-push all state a (restarted, stateless) backend needs: every
+        retained client setup and every populated row's instance slice. The
+        front end owns the KV plane, so a backend restart never needs a
+        client round trip."""
+        url = self.urls[backend_index]
+        with self.lock:
+            for uid, raw in self._setups.items():
+                self._post(url, f"/setup?uuid={uid}", json.dumps(
+                    base64.b64encode(raw).decode()).encode())
+            for db_idx, row in enumerate(self.rows):
+                if row:
+                    self._send_row(db_idx, compress_row(row))
+
+    def private_read_body(self, body: bytes) -> bytes:
         """Fan the query batch out; splice per-instance response segments."""
         params = self.params
         results = self._fanout("/private-read", body)
@@ -272,142 +323,9 @@ class DcnFrontend:
 
 
 def make_handler(fe: DcnFrontend):
-    """Same route surface as sdk_tpu.server.http, served by the router."""
-    pending_uploads: dict[str, dict] = {}
-
-    class Handler(BaseHTTPRequestHandler):
-        protocol_version = "HTTP/1.1"
-
-        def log_message(self, fmt, *args):
-            pass
-
-        def _send(self, code: int, body: bytes, ctype="application/json"):
-            self.send_response(code)
-            self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-
-        def _body(self) -> bytes:
-            import gzip
-
-            length = int(self.headers.get("Content-Length", 0))
-            data = self.rfile.read(length)
-            if self.headers.get("Content-Encoding") == "gzip":
-                data = gzip.decompress(data)
-            return data
-
-        def do_GET(self):
-            path = self.path.rstrip("/") or "/"
-            if fe.destroyed and path != "/":
-                self._send(404, b'{"error": "bucket destroyed"}')
-                return
-            if path == "/":
-                self._send(200, f"Hello {fe.params.poly_len}!".encode(),
-                           "text/plain")
-            elif path.endswith("/meta"):
-                self._send(200, json.dumps(fe.meta()).encode())
-            elif path.endswith("/metrics"):
-                self._send(200, json.dumps(fe.metrics()).encode())
-            elif path.endswith("/check"):
-                uid = path.split("/")[1]
-                self._send(200, json.dumps(
-                    {"found": fe.has_uuid(uid)}).encode())
-            elif path.endswith("/bloom"):
-                try:
-                    self._send(200, json.dumps(
-                        {"bloom": base64.b64encode(fe.bloom_bytes()).decode()}
-                    ).encode())
-                except KeyError:
-                    self._send(404, b'{"error": "no bloom filter"}')
-            elif path.endswith("/list-keys"):
-                try:
-                    self._send(200, json.dumps(fe.list_keys()).encode())
-                except KeyError:
-                    self._send(404, b'{"error": "key storage not enabled"}')
-            else:
-                self._send(404, b'{"error": "not found"}')
-
-        def do_POST(self):
-            path, _, qs = self.path.partition("?")
-            path = path.rstrip("/")
-            if fe.destroyed:
-                self._send(404, b'{"error": "bucket destroyed"}')
-                return
-            try:
-                body = self._body()
-                if path.endswith("/setup"):
-                    forced_uid = None
-                    for kv in qs.split("&"):
-                        if kv.startswith("uuid="):
-                            forced_uid = kv[5:]
-                    prelim = None
-                    if len(body) < 1024 and forced_uid is None:
-                        try:
-                            parsed = json.loads(body)
-                            if isinstance(parsed, dict) and "length" in parsed:
-                                prelim = parsed
-                        except ValueError:
-                            pass
-                    if prelim is not None:
-                        # presigned-upload flow (reference api.rs:149-186)
-                        import uuid as _uuid
-
-                        uid = str(_uuid.uuid4())
-                        token = _uuid.uuid4().hex
-                        pending_uploads[token] = {
-                            "uuid": uid, "length": int(prelim["length"])}
-                        self._send(200, json.dumps({
-                            "uuid": uid, "url": f"/upload/{token}",
-                            "fields": {"key": token}}).encode())
-                    elif forced_uid is not None:
-                        uid = fe.setup_raw(base64.b64decode(json.loads(body)),
-                                           forced_uid)
-                        self._send(200, json.dumps({"uuid": uid}).encode())
-                    else:
-                        uid = fe.setup(body)
-                        self._send(200, json.dumps({"uuid": uid}).encode())
-                elif "/upload/" in path:
-                    token = path.rsplit("/", 1)[1]
-                    slot = pending_uploads.pop(token, None)
-                    if slot is None:
-                        self._send(404, b'{"error": "unknown upload token"}')
-                        return
-                    raw = parse_multipart_file(
-                        self.headers.get("Content-Type", ""), body)
-                    if len(raw) != slot["length"]:
-                        self._send(400, json.dumps(
-                            {"error": "upload length mismatch"}).encode())
-                        return
-                    fe.setup_raw(raw, slot["uuid"])
-                    self._send(200, json.dumps(
-                        {"uuid": slot["uuid"]}).encode())
-                elif path.endswith("/write"):
-                    self._send(200, json.dumps(fe.write_kv(body)).encode())
-                elif path.endswith("/update-row"):
-                    largest = fe.update_many_items(body)
-                    self._send(200, json.dumps(
-                        {"status": "done updating",
-                         "largest_update": largest}).encode())
-                elif path.endswith("/private-read"):
-                    self._send(200, fe.private_read(body))
-                elif path.endswith("/clear"):
-                    fe.clear()
-                    self._send(200, b'{"status": "cleared"}')
-                elif path.endswith("/modify"):
-                    fe.rename(json.loads(body)["name"])
-                    self._send(200, b'{"status": "modified"}')
-                elif path.endswith("/destroy"):
-                    fe.destroy()
-                    self._send(200, b'{"status": "destroyed"}')
-                else:
-                    self._send(404, b'{"error": "not found"}')
-            except KeyError:
-                self._send(404, b'{"error": "unknown uuid"}')
-            except Exception as e:  # noqa: BLE001
-                self._send(500, json.dumps({"error": str(e)}).encode())
-
-    return Handler
+    """Same route surface as sdk_tpu.server.http (one shared handler
+    factory over the duck-typed route interface — no duplicated routes)."""
+    return make_routes_handler(fe)
 
 
 def serve(fe: DcnFrontend, port: int, block: bool = True):

@@ -138,12 +138,72 @@ def parse_multipart_file(content_type: str, body: bytes) -> bytes:
     raise ValueError("multipart body has no 'file' field")
 
 
-def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
-    reader = coalescer or ReadCoalescer(srv, 0.0)
+class KvRoutes:
+    """Adapts (SpiralKvServer, ReadCoalescer) to the route interface served
+    by make_routes_handler — the same duck-typed surface DcnFrontend
+    implements, so single-node and multi-host serving share one handler."""
+
+    def __init__(self, srv: SpiralKvServer, reader: ReadCoalescer):
+        self.srv = srv
+        self.reader = reader
+        self.params = srv.params
+
+    @property
+    def destroyed(self) -> bool:
+        return self.srv.destroyed
+
+    def meta(self) -> dict:
+        return self.srv.meta()
+
+    def metrics(self) -> dict:
+        m = self.srv.metrics()
+        m["read_coalescer"] = self.reader.stats
+        return m
+
+    def has_uuid(self, uid: str) -> bool:
+        return self.srv.has_uuid(uid)
+
+    def bloom_bytes(self) -> bytes:
+        return self.srv.bloom_bytes()
+
+    def list_keys(self) -> list[str]:
+        return self.srv.list_keys()
+
+    def setup(self, body: bytes) -> str:
+        return self.srv.setup(body)
+
+    def setup_raw(self, raw: bytes, uid: str) -> str:
+        return self.srv.setup_raw(raw, uid=uid)
+
+    def write_kv(self, body: bytes) -> dict:
+        return self.srv.write_kv(body)
+
+    def update_many_items(self, body: bytes) -> int:
+        return self.srv.update_many_items(body)
+
+    def private_read_body(self, body: bytes) -> bytes:
+        return self.reader.read_body(body)
+
+    def clear(self) -> None:
+        self.srv.clear()
+
+    def rename(self, new_name: str) -> None:
+        self.srv.rename(new_name)
+
+    def destroy(self) -> None:
+        self.srv.destroy()
+
+
+def make_routes_handler(iface):
+    """The reference server's route surface over any object implementing the
+    KvRoutes interface (reference lib/server/src/bin/server.rs:31-187).
+    Shared by single-node serving (KvRoutes) and the DCN front end
+    (sdk_tpu.server.dcn.DcnFrontend)."""
     # presigned-upload emulation (reference api.rs:149-186): prelim /setup
     # with {"length": N} reserves a token; the payload arrives as a
     # multipart POST to /upload/<token>
     pending_uploads: dict[str, dict] = {}
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -166,33 +226,32 @@ def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
 
         def do_GET(self):
             path = self.path.rstrip("/") or "/"
-            if srv.destroyed and path != "/":
+            if iface.destroyed and path != "/":
                 self._send(404, b'{"error": "bucket destroyed"}')
                 return
             if path == "/":
-                self._send(200, f"Hello {srv.params.poly_len}!".encode(),
+                self._send(200, f"Hello {iface.params.poly_len}!".encode(),
                            "text/plain")
-            elif path == "/meta" or path.endswith("/meta"):
-                self._send(200, json.dumps(srv.meta()).encode())
+            elif path.endswith("/meta"):
+                self._send(200, json.dumps(iface.meta()).encode())
             elif path.endswith("/metrics"):
-                m = srv.metrics()
-                m["read_coalescer"] = reader.stats
-                self._send(200, json.dumps(m).encode())
+                self._send(200, json.dumps(iface.metrics()).encode())
             elif path.endswith("/check"):
                 # /<uuid>/check — does the server hold this client's params
                 uid = path.split("/")[1]
-                self._send(200, json.dumps({"found": srv.has_uuid(uid)}).encode())
+                self._send(200, json.dumps(
+                    {"found": iface.has_uuid(uid)}).encode())
             elif path.endswith("/bloom"):
                 import base64 as _b64
                 try:
                     self._send(200, json.dumps(
-                        {"bloom": _b64.b64encode(srv.bloom_bytes()).decode()}
+                        {"bloom": _b64.b64encode(iface.bloom_bytes()).decode()}
                     ).encode())
                 except KeyError:
                     self._send(404, b'{"error": "no bloom filter"}')
             elif path.endswith("/list-keys"):
                 try:
-                    self._send(200, json.dumps(srv.list_keys()).encode())
+                    self._send(200, json.dumps(iface.list_keys()).encode())
                 except KeyError:
                     self._send(404, b'{"error": "key storage not enabled"}')
             else:
@@ -201,7 +260,7 @@ def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
         def do_POST(self):
             path, _, qs = self.path.partition("?")
             path = path.rstrip("/")
-            if srv.destroyed:
+            if iface.destroyed:
                 self._send(404, b'{"error": "bucket destroyed"}')
                 return
             try:
@@ -214,7 +273,7 @@ def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
                         if kv.startswith("uuid="):
                             forced_uid = kv[5:]
                     prelim = None
-                    if len(body) < 1024:
+                    if len(body) < 1024 and forced_uid is None:
                         try:
                             parsed = json.loads(body)
                             if isinstance(parsed, dict) and "length" in parsed:
@@ -236,11 +295,10 @@ def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
                         if forced_uid is not None:
                             import base64 as _b64
 
-                            uid = srv.setup_raw(
-                                _b64.b64decode(json.loads(body)),
-                                uid=forced_uid)
+                            uid = iface.setup_raw(
+                                _b64.b64decode(json.loads(body)), forced_uid)
                         else:
-                            uid = srv.setup(body)
+                            uid = iface.setup(body)
                         self._send(200, json.dumps({"uuid": uid}).encode())
                 elif "/upload/" in path:
                     token = path.rsplit("/", 1)[1]
@@ -256,36 +314,45 @@ def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
                                       f"{len(raw)}, promised {slot['length']}"}
                         ).encode())
                         return
-                    srv.setup_raw(raw, uid=slot["uuid"])
+                    iface.setup_raw(raw, slot["uuid"])
                     self._send(200, json.dumps(
                         {"uuid": slot["uuid"]}).encode())
                 elif path.endswith("/write"):
-                    resp = srv.write_kv(body)
+                    resp = iface.write_kv(body)
                     self._send(200, json.dumps(resp).encode())
                 elif path.endswith("/update-row"):
-                    largest = srv.update_many_items(body)
+                    largest = iface.update_many_items(body)
                     self._send(200, json.dumps(
                         {"status": "done updating",
                          "largest_update": largest}).encode())
                 elif path.endswith("/private-read"):
-                    self._send(200, reader.read_body(body))
+                    self._send(200, iface.private_read_body(body))
                 elif path.endswith("/clear"):
-                    srv.clear()
+                    iface.clear()
                     self._send(200, b'{"status": "cleared"}')
                 elif path.endswith("/modify"):
-                    srv.rename(json.loads(body)["name"])
+                    iface.rename(json.loads(body)["name"])
                     self._send(200, b'{"status": "modified"}')
                 elif path.endswith("/destroy"):
-                    srv.destroy()
+                    iface.destroy()
                     self._send(200, b'{"status": "destroyed"}')
                 else:
                     self._send(404, b'{"error": "not found"}')
             except KeyError:
                 self._send(404, b'{"error": "unknown uuid"}')
             except Exception as e:  # noqa: BLE001 — surface to client
-                self._send(500, json.dumps({"error": str(e)}).encode())
+                code = getattr(e, "http_status", 500)
+                self._send(code, json.dumps(
+                    {"error": str(e),
+                     **getattr(e, "http_details", {})}).encode())
 
     return Handler
+
+
+def make_handler(srv: SpiralKvServer, coalescer: ReadCoalescer | None = None):
+    """Single-node handler: SpiralKvServer + optional read coalescer."""
+    reader = coalescer or ReadCoalescer(srv, 0.0)
+    return make_routes_handler(KvRoutes(srv, reader))
 
 
 def serve(srv: SpiralKvServer, port: int, block: bool = True,

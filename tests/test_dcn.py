@@ -81,7 +81,7 @@ def test_dcn_matches_single_server_byte_exact(topology):
     blob = uid.encode() + query.serialize(params)
     rd_body = json.dumps([base64.b64encode(blob).decode()]).encode()
 
-    dcn_resp = json.loads(fe.private_read(rd_body))
+    dcn_resp = json.loads(fe.private_read_body(rd_body))
     single_resp = json.loads(single.private_read(rd_body))
     assert dcn_resp == single_resp  # byte-identical splice
 
@@ -121,6 +121,79 @@ def test_dcn_presigned_setup(topology):
         assert fe.has_uuid(uid)
     finally:
         httpd.shutdown()
+
+
+def test_dcn_backend_failure_and_resync():
+    """Kill one backend: reads must fail with a clean 502 naming the dead
+    URL (not a hang or a masked traceback). Restart it stateless, resync
+    from the front end, and reads recover — no client round trip needed."""
+    import urllib.error
+    import urllib.request
+
+    params = params_from_json(PARAMS_JSON)
+    b_obj = backend_params_obj(params, 2)
+    ports = [free_port(), free_port()]
+    httpds = [
+        http_serve(SpiralKvServer(params_from_json_obj(b_obj)), p,
+                   block=False)
+        for p in ports]
+    urls = [f"http://localhost:{p}" for p in ports]
+    fe = DcnFrontend(params, urls, PARAMS_JSON)
+    fe_port = free_port()
+    fe_httpd = dcn_serve(fe, fe_port, block=False)
+    try:
+        fe.write_kv(json.dumps(
+            {"ha-key": base64.b64encode(b"survives restart").decode()}
+        ).encode())
+        client, pp_raw = _client(params)
+        uid = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+        fe.setup_raw(pp_raw, uid)
+
+        from sdk_tpu.kv.key_value import extract_result, row_from_key
+
+        row = row_from_key(params.num_items(), "ha-key")
+        query = client.generate_query(
+            row, noise_rng=ChaCha20Rng(b"\x58" * 32), query_seed=b"\x59" * 32)
+        rd_body = json.dumps([base64.b64encode(
+            uid.encode() + query.serialize(params)).decode()]).encode()
+
+        def read_http():
+            req = urllib.request.Request(
+                f"http://localhost:{fe_port}/private-read", data=rd_body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=1200) as r:
+                return json.loads(r.read())
+
+        baseline = read_http()
+
+        # kill backend 0
+        httpds[0].shutdown()
+        httpds[0].server_close()
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            read_http()
+        assert exc_info.value.code == 502
+        detail = json.loads(exc_info.value.read())
+        assert urls[0] in detail["failed_backends"]
+        assert urls[1] not in detail["failed_backends"]
+
+        # restart it STATELESS on the same port and resync from the front end
+        httpds[0] = http_serve(
+            SpiralKvServer(params_from_json_obj(b_obj)), ports[0],
+            block=False)
+        fe.resync(0)
+        recovered = read_http()
+        assert recovered == baseline
+
+        import bz2 as _bz2
+
+        decoded = client.decode_response(base64.b64decode(recovered[0]))
+        assert extract_result(
+            "ha-key",
+            _bz2.BZ2Decompressor().decompress(decoded)) == b"survives restart"
+    finally:
+        fe_httpd.shutdown()
+        for h in httpds:
+            h.shutdown()
 
 
 def test_backend_params_and_segment_math():
