@@ -1,46 +1,58 @@
-"""Benchmark: encrypted-DB scan throughput of the Spiral first-dim multiply
-on the real TPU chip, with the production 16-query batch (one DB pass
-amortized over the batch — the serving pattern; reference batching advice
-docs/docs/performance.mdx, SURVEY 2.8).
+"""Benchmarks for every BASELINE.json target, on the real TPU chip.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line per metric:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+in order:
+  1. spiral_scan_throughput_batch16  — encrypted-DB scan GB/s, 16-query
+     batch sharing one DB pass (the serving pattern; reference batching
+     advice docs/docs/performance.mdx, SURVEY 2.8).
+  2. spiral_scan_single_query_device_ms — device-side single-query scan on
+     a 2 GiB index (dispatch RTT excluded by k-loop differencing).
+  3. doublepir_answer_throughput — online answer GB/s on a checklist-shaped
+     packed DB, batch-8 (reference kernels.rs:118-178; paper ~7.4 GB/s/core).
+  4. spiral_p50_1gib — LAST (the headline): full-protocol p50 latency on
+     the 1 GiB bucket (2^15 x 32 KiB, params-store (9,6) v1 config =
+     reference bin/server.rs:191-203 scaled up one nu_2), decode verified
+     bit-exact each iteration.
 
-Baseline: the Spiral paper's ~1 GB/s/core CPU DB-scan design point
-(BASELINE.md; the reference publishes no absolute numbers). vs_baseline is
-the multiple over 1 GB/s.
+Baselines: Spiral paper ~1 GB/s/core CPU DB scan and DoublePIR paper
+~7.4 GB/s/core (BASELINE.md; the reference publishes no absolute numbers).
+vs_baseline is the multiple over those CPU design points (for the p50 row:
+effective GB/s of DB scanned per query over 1 GB/s).
 """
 
 from __future__ import annotations
 
+import gc
 import json
+import sys
 import time
+import traceback
 
 import numpy as np
 
 NUM_QUERIES = 16
+SPIRAL_BASELINE_GBPS = 1.0   # Spiral paper ~1 GB/s/core CPU design point
+DOUBLEPIR_BASELINE_GBPS = 7.4
 
 
-def main():
+def _emit(obj: dict) -> None:
+    print(json.dumps(obj), flush=True)
+
+
+def _scan_operands(params, R: int):
+    """Generate a random encrypted index + query batch ON DEVICE (uploading
+    multi-GB arrays through the axon tunnel is slow); values uniform in
+    [0, q_c), decomposed into the int8 limb-plane serving format."""
     import jax
     import jax.numpy as jnp
 
-    from sdk_tpu.params import params_from_json
     from sdk_tpu.ops import spiral_jax as sj
 
-    # Production-shaped scan: dim0=512, num_per=64 (nu_1=9, nu_2=6), n=2.
-    params = params_from_json(
-        '{"n": 2, "nu_1": 9, "nu_2": 6, "p": 256, "q2_bits": 20, "t_gsw": 8,'
-        ' "t_conv": 4, "t_exp_left": 8, "t_exp_right": 56, "instances": 1,'
-        ' "db_item_size": 8192}'
-    )
     dim0 = 1 << params.db_dim_1
     num_per = 1 << params.db_dim_2
     trials = params.n * params.n
-    R = 2 * NUM_QUERIES
 
-    # generate operands ON DEVICE (uploading a multi-GB DB through the axon
-    # tunnel is slow and flaky); values uniform in [0, q_c), then decompose
-    # once into the int8 limb storage layout (the serving format)
     @jax.jit
     def gen():
         key = jax.random.PRNGKey(0)
@@ -63,6 +75,23 @@ def main():
 
     db_dev, q_dev = gen()
     jax.block_until_ready(db_dev)
+    db_bytes = trials * params.poly_len * num_per * dim0 * 8
+    return db_dev, q_dev, db_bytes
+
+
+def bench_scan_batch16() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from sdk_tpu.params import params_from_json
+    from sdk_tpu.ops import spiral_jax as sj
+
+    # Production-shaped scan: dim0=512, num_per=64 (nu_1=9, nu_2=6), n=2.
+    params = params_from_json(
+        '{"n": 2, "nu_1": 9, "nu_2": 6, "p": 256, "q2_bits": 20, "t_gsw": 8,'
+        ' "t_conv": 4, "t_exp_left": 8, "t_exp_right": 56, "instances": 1,'
+        ' "db_item_size": 8192}')
+    db_dev, q_dev, db_bytes = _scan_operands(params, 2 * NUM_QUERIES)
 
     @jax.jit
     def scan(db, q_arr):
@@ -73,25 +102,160 @@ def main():
         return out.sum(dtype=jnp.uint32)
 
     int(scan(db_dev, q_dev))  # compile + warm
-
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         int(scan(db_dev, q_dev))
     dt = (time.perf_counter() - t0) / iters
-
-    # Bytes of encrypted DB scanned per query, in the reference's packed
-    # representation (2 CRT residues per u64 => 8 bytes per coefficient),
-    # aggregated over the query batch sharing the pass.
-    db_bytes = trials * params.poly_len * num_per * dim0 * 8
     gbps = db_bytes * NUM_QUERIES / dt / 1e9
-    baseline_gbps = 1.0  # Spiral paper ~1 GB/s/core CPU design point
-    print(json.dumps({
-        "metric": "spiral_scan_throughput_batch16",
-        "value": round(gbps, 3),
-        "unit": "GB/s",
-        "vs_baseline": round(gbps / baseline_gbps, 2),
-    }))
+    return {"metric": "spiral_scan_throughput_batch16",
+            "value": round(gbps, 3), "unit": "GB/s",
+            "vs_baseline": round(gbps / SPIRAL_BASELINE_GBPS, 2)}
+
+
+def bench_scan_single_device() -> dict:
+    """Device-side single-query scan latency on a 2 GiB index: time k scans
+    chained inside one dispatch for k in {1, 9} and difference — the per-
+    dispatch tunnel RTT (~28 ms here) cancels exactly."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdk_tpu.params import params_from_json
+    from sdk_tpu.ops import spiral_jax as sj
+
+    params = params_from_json(
+        '{"n": 2, "nu_1": 9, "nu_2": 6, "p": 256, "q2_bits": 20, "t_gsw": 8,'
+        ' "t_conv": 4, "t_exp_left": 8, "t_exp_right": 56, "instances": 1,'
+        ' "db_item_size": 8192}')
+    db_dev, q_dev, db_bytes = _scan_operands(params, 2)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def scan_k(db, q_arr, k):
+        def body(i, acc):
+            q_i = q_arr + i.astype(jnp.uint32)  # defeat CSE across rounds
+            out = sj.firstdim_multiply(params, db, q_i)
+            return acc + out.sum(dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    def timed(k, iters=8):
+        int(scan_k(db_dev, q_dev, k))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            int(scan_k(db_dev, q_dev, k))
+        return (time.perf_counter() - t0) / iters
+
+    t1, t9 = timed(1), timed(9)
+    ms = (t9 - t1) / 8 * 1e3
+    eff_gbps = db_bytes / (ms / 1e3) / 1e9
+    return {"metric": "spiral_scan_single_query_device_ms",
+            "value": round(ms, 3), "unit": "ms",
+            "vs_baseline": round(eff_gbps / SPIRAL_BASELINE_GBPS, 2)}
+
+
+def bench_doublepir_answer() -> dict:
+    """Online answer matvec on a checklist-shaped packed DB (squished 3x10
+    bits per u32, reference squish.rs:18-34), batch of 8 queries — the
+    bloom-checklist read pattern (8 bloom probes per key)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sdk_tpu.doublepir.jax_kernels import mat_mul_vec_packed_traced
+
+    l = 56320          # rows (multiple of ROW_CHUNK=4096 plus remainder ok)
+    m = 56321          # unpacked cols
+    packed_cols = (m + 2) // 3
+    nq = 8
+
+    @jax.jit
+    def gen():
+        key = jax.random.PRNGKey(1)
+        a = jax.random.bits(key, (l, packed_cols), dtype=jnp.uint32)
+        b = jax.random.bits(jax.random.fold_in(key, 1),
+                            (packed_cols * 3, nq), dtype=jnp.uint32)
+        return a, b
+
+    a, b = gen()
+    jax.block_until_ready(a)
+
+    @jax.jit
+    def answer(a, b):
+        return mat_mul_vec_packed_traced(a, b).sum(dtype=jnp.uint32)
+
+    int(answer(a, b))
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        int(answer(a, b))
+    dt = (time.perf_counter() - t0) / iters
+    db_bytes = l * packed_cols * 4
+    gbps = db_bytes * nq / dt / 1e9
+    return {"metric": "doublepir_answer_throughput",
+            "value": round(gbps, 3), "unit": "GB/s",
+            "vs_baseline": round(gbps / DOUBLEPIR_BASELINE_GBPS, 2)}
+
+
+def bench_spiral_p50_1gib() -> dict:
+    """Full-protocol serving p50 on the 1 GiB bucket config: the whole
+    /private-read path (deserialize, expand, scan, fold, pack, on-device
+    encode, fetch) with decode verified bit-exact every iteration."""
+    import base64
+
+    from sdk_tpu.client import Client
+    from sdk_tpu.kv.key_value import extract_result, row_from_key
+    from sdk_tpu.params_store import get_params_from_store
+    from sdk_tpu.rng import ChaCha20Rng
+    from sdk_tpu.server.kv_server import SpiralKvServer
+
+    params = get_params_from_store(15, 32768)  # 2^15 x 32 KiB = 1 GiB
+    srv = SpiralKvServer(params)
+    value = bytes(range(256)) * 64  # 16 KiB payload
+    srv.write_kv(json.dumps(
+        {"bench-key": base64.b64encode(value).decode()}).encode())
+
+    client = Client(params)
+    pp = client.generate_keys_from_seed(
+        b"\x41" * 32, noise_rng=ChaCha20Rng(b"\x42" * 32),
+        pp_seed=b"\x43" * 32)
+    uid = srv.setup_raw(pp.serialize(params))
+    row = row_from_key(params.num_items(), "bench-key")
+    query = client.generate_query(
+        row, noise_rng=ChaCha20Rng(b"\x44" * 32), query_seed=b"\x45" * 32)
+    blob = uid.encode() + query.serialize(params)
+
+    import bz2
+
+    def read_once() -> float:
+        t0 = time.perf_counter()
+        resp = srv.private_read_blobs([blob])[0]
+        dt = time.perf_counter() - t0
+        decoded = client.decode_response(resp)
+        payload = bz2.BZ2Decompressor().decompress(decoded)
+        assert extract_result("bench-key", payload) == value, \
+            "decode mismatch — recall@1 violated"
+        return dt
+
+    read_once()  # compile + warm
+    lat = sorted(read_once() for _ in range(15))
+    p50 = lat[len(lat) // 2]
+    db_gb = params.num_items() * params.db_item_size / 1e9
+    return {"metric": "spiral_p50_1gib",
+            "value": round(p50 * 1e3, 1), "unit": "ms",
+            "vs_baseline": round((db_gb / p50) / SPIRAL_BASELINE_GBPS, 2)}
+
+
+def main():
+    benches = [bench_scan_batch16, bench_scan_single_device,
+               bench_doublepir_answer, bench_spiral_p50_1gib]
+    for fn in benches:
+        try:
+            _emit(fn())
+        except Exception:  # noqa: BLE001 — one failed metric must not kill the rest
+            print(f"bench {fn.__name__} failed:\n{traceback.format_exc()}",
+                  file=sys.stderr, flush=True)
+        gc.collect()  # free device buffers before the next metric
 
 
 if __name__ == "__main__":
