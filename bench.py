@@ -246,7 +246,19 @@ def bench_spiral_p50_1gib() -> dict:
             "vs_baseline": round((db_gb / p50) / SPIRAL_BASELINE_GBPS, 2)}
 
 
+def _enable_jit_cache() -> None:
+    import os
+
+    import jax
+
+    cache = os.environ.get("SDK_TPU_JIT_CACHE", "/tmp/sdk_tpu_jit_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
+    _enable_jit_cache()
     benches = [bench_scan_batch16, bench_scan_single_device,
                bench_doublepir_answer, bench_spiral_p50_1gib]
     for fn in benches:
