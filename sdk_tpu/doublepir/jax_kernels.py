@@ -32,20 +32,22 @@ def _limbs_i8(x, num_limbs: int):
             for k in range(num_limbs)]
 
 
-def matmul_u32_traced(a, b):
+def matmul_u32_traced(a, b, a_bits: int = 32):
     """Wrapping-u32 matmul (a: (M, K), b: (K, N), uint32) via int8 limb
-    matmuls on the MXU. Exact mod 2^32."""
+    matmuls on the MXU. Exact mod 2^32. `a_bits` bounds the values of `a`
+    (e.g. 10 for unsquished 10-bit fields) so fewer limb products run."""
     M, K = a.shape
     _, N = b.shape
-    na = 5  # ceil(32 / 7)
+    na = -(-a_bits // LIMB_BITS)
+    nb = 5  # ceil(32 / 7)
     out = jnp.zeros((M, N), dtype=U32)
     for s in range(0, K, K_CHUNK):
         e = min(s + K_CHUNK, K)
         a_l = _limbs_i8(a[:, s:e], na)
-        b_l = _limbs_i8(b[s:e, :], na)
+        b_l = _limbs_i8(b[s:e, :], nb)
         partials = {}
         for k in range(na):
-            for l in range(na):
+            for l in range(nb):
                 sh = LIMB_BITS * (k + l)
                 if sh >= 32:
                     continue
@@ -89,12 +91,12 @@ def mat_mul_vec_packed_traced(a_packed, b, basis: int = SQUISH_BASIS,
     rows, cols = a_packed.shape
     if rows <= ROW_CHUNK:
         un = unsquish_traced(a_packed, cols * delta, basis, delta)
-        return matmul_u32_traced(un, b)
+        return matmul_u32_traced(un, b, a_bits=basis)
     n_full = rows // ROW_CHUNK
 
     def one(chunk):
         un = unsquish_traced(chunk, cols * delta, basis, delta)
-        return matmul_u32_traced(un, b)
+        return matmul_u32_traced(un, b, a_bits=basis)
 
     body = jax.lax.map(one, a_packed[: n_full * ROW_CHUNK]
                        .reshape(n_full, ROW_CHUNK, cols))
@@ -109,7 +111,7 @@ def mat_mul_transposed_packed_traced(a_packed, b, basis: int = SQUISH_BASIS,
     """unsquish(a) @ b.T on device (reference kernels.rs:180-278)."""
     rows, cols = a_packed.shape
     un = unsquish_traced(a_packed, cols * delta, basis, delta)
-    return matmul_u32_traced(un, jnp.transpose(b))
+    return matmul_u32_traced(un, jnp.transpose(b), a_bits=basis)
 
 
 @functools.lru_cache(maxsize=None)

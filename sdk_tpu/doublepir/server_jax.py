@@ -1,0 +1,213 @@
+"""Device-resident DoublePIR server for the byte-packed checklist configs.
+
+The production deployment (reference js/bridge/src/doublepir_lib.rs:118-129:
+``1024,6.4,92681,92683,32,464`` — ~2^36 bloom bits) serves 1-bit entries
+with p=464, so DbInfo.packing == 8 and ne == x == 1: every DB element is
+exactly one byte of the packed bloom bitfield. That admits a TPU-first
+layout the squished-u32 form can't match:
+
+    db_i8[r, c] = byte[r, c] - 128          (ONE int8 per element)
+
+- 1 B/element — the production DB is 8.6 GB on device (vs 11.4 GB squished
+  u32, vs 34.4 GB unsquished); no unsquish step ever materializes.
+- The stored tensor IS the left operand of the MXU matmuls. Because the
+  checklist m satisfies 128*127*m < 2^31, int8 limb products accumulate
+  exactly in int32 with NO reduction chunking: the online answer is five
+  jnp.dot calls (one per 7-bit query limb) over the whole DB.
+- The batched answer computes every query's row-batch in a single DB pass:
+  Z = DB @ [q_0 .. q_{NQ-1}] then a diagonal row-block selection — on the
+  MXU, NQ output columns cost the same as one, so NQ queries ride one
+  HBM read (reference answer loops batches serially, doublepir.rs:261-316).
+
+Offset corrections (exact mod 2^32, see _dot_i8_u32):
+    byte           = db_i8 + 128
+    setup DB elem  = byte - p//2  ->  H1 = db_i8*A1 + (128 - p//2)*colsum(A1)
+    answer DB elem = byte         ->  Z  = db_i8*Q1 + 128*colsum(Q1)
+
+Bit-exact vs the host scheme (scheme.setup/answer -> client recover);
+general (non-checklist) configs use DoublePirAnswerJax / device_kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import scheme
+from .database import DbInfo
+from .jax_kernels import (LIMB_BITS, mat_mul_vec_packed_traced,
+                          matmul_u32_traced, unsquish_traced)
+from .matrix import (SQUISH_BASIS, SQUISH_DELTA, U32, mat_mul_vec_packed,
+                     transpose_expand_concat_cols_squish)
+from .params import Params
+
+NB_LIMBS = 5  # ceil(32 / 7): limbs of a full u32 operand
+
+
+def _b_limbs(b):
+    return [((b >> jnp.uint32(LIMB_BITS * k)) & jnp.uint32(127))
+            .astype(jnp.int8) for k in range(NB_LIMBS)]
+
+
+def _dot_i8_u32(a_i8, b_u32):
+    """(a_i8 : (M, K) int8) @ (b_u32 : (K, N) uint32), exact mod 2^32.
+
+    The five 7-bit limb planes of b are CONCATENATED along N so `a` is
+    read once (one HBM pass over the DB instead of five; the MXU pads N
+    to 128 lanes either way, so the extra columns are nearly free).
+    Requires 128*127*K < 2^31 so each limb dot accumulates exactly in
+    int32 (true for every checklist shape; asserted by the caller)."""
+    n = b_u32.shape[1]
+    bcat = jnp.concatenate(_b_limbs(b_u32), axis=1)       # (K, 5N) int8
+    z = jnp.dot(a_i8, bcat, preferred_element_type=jnp.int32)
+    out = jnp.zeros((a_i8.shape[0], n), dtype=jnp.uint32)
+    for k in range(NB_LIMBS):
+        out = out + (z[:, k * n : (k + 1) * n].astype(jnp.uint32)
+                     << jnp.uint32(LIMB_BITS * k))
+    return out
+
+
+def _colsum_u32(b_u32):
+    return b_u32.sum(axis=0, dtype=jnp.uint32)
+
+
+class ChecklistServerJax:
+    """Full device-resident DoublePIR server for P=8 (byte-element) DBs."""
+
+    def __init__(self, num_entries: int, params: Params,
+                 bit_bytes: np.ndarray | None, *, db_dev=None):
+        info = DbInfo.new(num_entries, 1, params)
+        if not (info.packing == 8 and info.ne == 1 and info.x == 1):
+            raise ValueError(
+                f"not a byte-element checklist config: packing={info.packing}"
+                f" ne={info.ne} x={info.x} (use DoublePirAnswerJax)")
+        assert 128 * 127 * max(params.m, params.l) < (1 << 31), \
+            "limb accumulation bound requires m, l < 132153"
+        self.params = params
+        self.info = info
+        l, m = params.l, params.m
+        if db_dev is not None:
+            assert db_dev.shape == (l, m) and db_dev.dtype == jnp.int8
+            self.db = db_dev
+        else:
+            # one byte per element, LSB-first bit groups; tail elements are
+            # zero bytes (Db.from_packed_bits P=8 fast path)
+            nbytes = (num_entries + 7) // 8
+            flat = np.zeros(l * m, dtype=np.uint8)
+            flat[:nbytes] = np.asarray(bit_bytes, dtype=np.uint8)[:nbytes]
+            self.db = jnp.asarray(
+                (flat.reshape(l, m).astype(np.int16) - 128).astype(np.int8))
+        self.h1_sq = None       # device (n*delta, ceil(l/3)) u32
+        self.a_2_t = None       # host   (n, l padded to 3) u32
+        self._batch_cache: dict[int, jnp.ndarray] = {}
+        self._jit_l1 = None
+        self._jit_l2 = jax.jit(mat_mul_vec_packed_traced)
+
+    # ---- setup (reference doublepir.rs:76-108, all matmuls on device) ----
+
+    def setup(self, shared: list | None = None) -> list[np.ndarray]:
+        """Returns the client hint [h_2]; retains the squished H1 on device
+        and A2^T on host for answers. `shared` = [A1 (m,n), A2 (l,n)]."""
+        params, info = self.params, self.info
+        shared = shared if shared is not None else scheme.init(info, params)
+        a_1, a_2 = shared
+        p, delta = params.p, params.delta()
+        n, l = a_1.shape[1], params.l
+
+        @jax.jit
+        def _setup(db_i8, a1, a2):
+            # H1 = (byte - p/2) @ A1  =  db_i8 @ A1 + (128 - p/2)*colsum(A1)
+            h1 = _dot_i8_u32(db_i8, a1)
+            h1 = h1 + (jnp.uint32((128 - p // 2) & 0xFFFFFFFF)
+                       * _colsum_u32(a1))[None, :]
+            h1t = jnp.transpose(h1)                      # (n, l)
+            # base-p digit planes of H1^T; digits are raw in [0, p)
+            digs, v = [], h1t
+            for _ in range(delta):
+                digs.append(v % jnp.uint32(p))
+                v = v // jnp.uint32(p)
+            # H2 = centered-digits @ A2 = digits@A2 - (p/2)*colsum(A2);
+            # digits < p < 2^10 split as low-7-bits + high-bits (<= 3, so
+            # both limbs fit int8) with the high limb shifted by 7
+            corr = (jnp.uint32((-(p // 2)) & 0xFFFFFFFF)
+                    * _colsum_u32(a2))[None, :]
+            h2_planes = []
+            for d in digs:
+                lo = (d & jnp.uint32(127)).astype(jnp.int8)
+                hi = (d >> jnp.uint32(7)).astype(jnp.int8)
+                t = _dot_i8_u32(lo, a2) + (
+                    _dot_i8_u32(hi, a2) << jnp.uint32(7))
+                h2_planes.append(t + corr)
+            # interleave planes back to expand()'s row order [i*delta + f]
+            h2 = jnp.stack(h2_planes, axis=1).reshape(n * delta, -1)
+            # squished H1 for the answer path: (+p/2 on centered digits
+            # gives back the raw digits) packed 3 fields of 10 bits per u32
+            dig_il = jnp.stack(digs, axis=1).reshape(n * delta, l)
+            pad = (-l) % SQUISH_DELTA
+            dig_p = jnp.pad(dig_il, ((0, 0), (0, pad)))
+            dig_p = dig_p.reshape(n * delta, -1, SQUISH_DELTA)
+            h1_sq = sum((dig_p[:, :, k] << jnp.uint32(10 * k))
+                        for k in range(SQUISH_DELTA))
+            return h1_sq.astype(jnp.uint32), h2
+
+        self.h1_sq, h2 = _setup(self.db, jnp.asarray(a_1), jnp.asarray(a_2))
+        self.h1_sq.block_until_ready()
+        a2c = a_2
+        if a2c.shape[0] % SQUISH_DELTA != 0:
+            padr = SQUISH_DELTA - (a2c.shape[0] % SQUISH_DELTA)
+            a2c = np.vstack([a2c, np.zeros((padr, a2c.shape[1]), dtype=U32)])
+        self.a_2_t = np.ascontiguousarray(a2c.T)
+        # row-padded A2 stays on device: msg[0] = unsquish(a_1t) @ A2 is a
+        # (delta*x, l) x (l, n) matmul — milliseconds on the MXU, seconds
+        # in host numpy at the production l
+        self._a2_pad_dev = jnp.asarray(a2c)
+        self._jit_msg0 = jax.jit(
+            lambda a1t_sq, a2p: matmul_u32_traced(
+                unsquish_traced(a1t_sq, a2p.shape[0]), a2p,
+                a_bits=SQUISH_BASIS))
+        return [np.asarray(h2)]
+
+    # ---- answer (reference doublepir.rs:246-350, one pass, diag select) --
+
+    def _batch_index(self, nq: int):
+        idx = self._batch_cache.get(nq)
+        if idx is None:
+            l = self.params.l
+            bs = l // nq
+            idx = jnp.asarray(np.minimum(np.arange(l) // bs, nq - 1)
+                              .astype(np.int32)[:, None])
+            self._batch_cache[nq] = idx
+        return idx
+
+    def answer(self, queries: list[list[np.ndarray]]) -> list[np.ndarray]:
+        """Bit-exact mirror of scheme.answer for this config (x = ne = 1)."""
+        params = self.params
+        m = params.m
+        nq = len(queries)
+        q1_all = np.concatenate([q[0][:m] for q in queries], axis=1)
+
+        if self._jit_l1 is None:
+            @jax.jit
+            def _l1(db_i8, q1, bidx):
+                z = _dot_i8_u32(db_i8, q1)
+                z = z + (jnp.uint32(128) * _colsum_u32(q1))[None, :]
+                return jnp.take_along_axis(z, bidx, axis=1)
+
+            self._jit_l1 = _l1
+
+        a_1 = np.asarray(self._jit_l1(self.db, jnp.asarray(q1_all),
+                                      self._batch_index(nq)))   # (l, 1)
+
+        a_1t = transpose_expand_concat_cols_squish(
+            a_1, params.p, params.delta(), self.info.x)
+        msg: list[np.ndarray] = [np.asarray(
+            self._jit_msg0(jnp.asarray(a_1t), self._a2_pad_dev))]
+
+        q2_all = np.concatenate([q[1] for q in queries], axis=1)
+        a_2_all = np.asarray(self._jit_l2(self.h1_sq, jnp.asarray(q2_all)))
+        h_2_all = mat_mul_vec_packed(a_1t, q2_all)
+        for k in range(q2_all.shape[1]):
+            msg.append(np.ascontiguousarray(a_2_all[:, k : k + 1]))
+            msg.append(np.ascontiguousarray(h_2_all[:, k : k + 1]))
+        return msg

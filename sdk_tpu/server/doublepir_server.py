@@ -57,6 +57,8 @@ class DoublePirKvServer:
             self._matmul = matmul_u32_fn or matmul_u32_device
             self._kernels = device_kernels()
         self.db: Db | None = None
+        self.db_info: DbInfo | None = None
+        self._engine = None      # ChecklistServerJax when the config allows
         self.server_state: list = []
         self.hint: list = []
         self._hint_bytes: bytes | None = None
@@ -86,20 +88,41 @@ class DoublePirKvServer:
     def _rebuild(self) -> None:
         if not self._dirty:
             return
-        self.db = Db.from_packed_bits(self.num_entries, self.params,
-                                      self.bit_bytes)
-        if self.shared_state is None:
-            self.shared_state = scheme.init(self.db.info, self.params)
-        self.server_state, self.hint = scheme.setup(
-            self.db, self.shared_state, self.params, self._matmul)
+        self._engine = None
         if self._kernels is not None:
-            # keep the squished DB and H1 device-resident: answer-path
-            # matvecs slice them on device instead of re-uploading per
-            # request (scheme.answer works on either array type)
-            import jax.numpy as jnp
+            # byte-element configs (the production checklist: packing=8,
+            # ne=x=1) get the fully device-resident server — 1 B/element
+            # int8 DB, hint + answer matmuls on the MXU, and NO host-side
+            # (l, m) u32 materialization (34 GB at the 2^36-bit config)
+            try:
+                from ..doublepir.server_jax import ChecklistServerJax
 
-            self.db.data = jnp.asarray(self.db.data)
-            self.server_state[0] = jnp.asarray(self.server_state[0])
+                eng = ChecklistServerJax(self.num_entries, self.params,
+                                         self.bit_bytes)
+                if self.shared_state is None:
+                    self.shared_state = scheme.init(eng.info, self.params)
+                self.hint = eng.setup(self.shared_state)
+                self._engine = eng
+                self.db_info = eng.info
+                self.db = None
+            except ValueError:
+                pass
+        if self._engine is None:
+            self.db = Db.from_packed_bits(self.num_entries, self.params,
+                                          self.bit_bytes)
+            self.db_info = self.db.info
+            if self.shared_state is None:
+                self.shared_state = scheme.init(self.db.info, self.params)
+            self.server_state, self.hint = scheme.setup(
+                self.db, self.shared_state, self.params, self._matmul)
+            if self._kernels is not None:
+                # keep the squished DB and H1 device-resident: answer-path
+                # matvecs slice them on device instead of re-uploading per
+                # request (scheme.answer works on either array type)
+                import jax.numpy as jnp
+
+                self.db.data = jnp.asarray(self.db.data)
+                self.server_state[0] = jnp.asarray(self.server_state[0])
         self._hint_bytes = serialize_state(self.hint)
         self._dirty = False
 
@@ -129,8 +152,11 @@ class DoublePirKvServer:
         with self.lock:
             self._rebuild()
             queries = deserialize_states(query_bytes)
-            resp = scheme.answer(self.db, queries, self.server_state,
-                                 self.params, kernels=self._kernels)
+            if self._engine is not None:
+                resp = self._engine.answer(queries)
+            else:
+                resp = scheme.answer(self.db, queries, self.server_state,
+                                     self.params, kernels=self._kernels)
             return serialize_state(resp)
 
     def meta(self) -> dict:
@@ -144,7 +170,7 @@ class DoublePirKvServer:
                 "pir_scheme": {
                     "scheme": "doublepir",
                     "params": self.params.to_string(),
-                    "dbinfo": self.db.info.to_string(),
+                    "dbinfo": self.db_info.to_string(),
                     "num_entries": str(self.num_entries),
                     "bloom_k": BLOOM_K,
                     "bloom_log2m": self.log2m,

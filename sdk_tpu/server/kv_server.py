@@ -276,8 +276,17 @@ class SpiralKvServer:
         os.makedirs(path, exist_ok=True)
         with self.lock:
             self._flush()
-            np.save(os.path.join(path, "db_tensor.npy"),
-                    np.stack([np.asarray(p) for p in self.engine.db]))
+            # stream one limb plane at a time into the .npy (a full
+            # np.stack would double host RAM at multi-GB indexes)
+            planes = self.engine.db
+            shape = (len(planes),) + tuple(planes[0].shape)
+            out = np.lib.format.open_memmap(
+                os.path.join(path, "db_tensor.npy"), mode="w+",
+                dtype=np.int8, shape=shape)
+            for i, p in enumerate(planes):
+                out[i] = np.asarray(p)
+            out.flush()
+            del out
             with open(os.path.join(path, "rows.pkl"), "wb") as f:
                 pickle.dump([bytes(r) for r in self.rows], f)
             state = {"version": self.version,
