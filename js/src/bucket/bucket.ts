@@ -62,6 +62,14 @@ export class Bucket {
     return b;
   }
 
+  /**
+   * Export this bucket identity as a 32-byte base64 seed (reference
+   * bucket.ts:483-486). Portable between this repo's TypeScript and
+   * Python clients ONLY: the Rust reference's key shuffle consumes
+   * randomness differently (client.rs:130-144), so seeds are NOT
+   * interchangeable with the Rust SDK (public wire formats are
+   * unaffected — see README "Compatibility").
+   */
   toSecretSeed(): string {
     return this.secretSeed;
   }

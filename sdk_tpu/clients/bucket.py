@@ -222,6 +222,14 @@ class Bucket:
         self.name = new_name
 
     def to_secret_seed(self) -> str:
+        """Export this bucket identity as a 32-byte base64 seed
+        (reference bucket.ts:483-486).
+
+        Portable between this repo's Python and TypeScript clients ONLY:
+        the Rust reference derives its ternary secret keys with a
+        different shuffle draw order (client.rs:130-144), so a seed is
+        NOT interchangeable with the Rust SDK (public wire formats are
+        unaffected — see README "Compatibility")."""
         return self._secret_seed
 
     # --- write chunking (bucket.py:63-113) ---

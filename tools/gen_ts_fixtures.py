@@ -38,8 +38,41 @@ from sdk_tpu.ntt_host import ntt_forward, ntt_inverse
 from sdk_tpu.params import get_fast_expansion_testing_params
 from sdk_tpu.rng import ChaCha20Rng
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "js", "tests", "fixtures")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "js", "tests", "fixtures")
+
+# every Python source whose change can alter wire bytes; their combined
+# hash is baked into fixtures/meta.json, and tests/test_ts_fixtures.py
+# fails when the fixtures go stale relative to these files
+WIRE_SOURCES = [
+    "sdk_tpu/arith.py",
+    "sdk_tpu/bitpack.py",
+    "sdk_tpu/client.py",
+    "sdk_tpu/clients/bloom.py",
+    "sdk_tpu/clients/serializer.py",
+    "sdk_tpu/discrete_gaussian.py",
+    "sdk_tpu/doublepir/database.py",
+    "sdk_tpu/doublepir/matrix.py",
+    "sdk_tpu/doublepir/params.py",
+    "sdk_tpu/doublepir/scheme.py",
+    "sdk_tpu/doublepir/serializer.py",
+    "sdk_tpu/kv/key_value.py",
+    "sdk_tpu/kv/write.py",
+    "sdk_tpu/ntt_host.py",
+    "sdk_tpu/params.py",
+    "sdk_tpu/poly.py",
+    "sdk_tpu/rng.py",
+    "sdk_tpu/server_host.py",
+]
+
+
+def wire_sources_hash() -> str:
+    h = hashlib.sha256()
+    for rel in WIRE_SOURCES:
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(rel.encode())
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def w(name: str, obj) -> None:
@@ -196,6 +229,10 @@ def main() -> None:
         "matrix_roundtrip_hex": serialize_state(
             [np.arange(6, dtype=np.uint32).reshape(2, 3)]).hex(),
     })
+
+    # --- freshness pin: hash of every wire-touching Python source ---
+    w("meta.json", {"wire_sources_sha256": wire_sources_hash(),
+                    "wire_sources": WIRE_SOURCES})
 
 
 if __name__ == "__main__":
