@@ -221,6 +221,10 @@ def bench_spiral_p50_1gib() -> dict:
 
     params = get_params_from_store(15, 32768)  # 2^15 x 32 KiB = 1 GiB
     srv = SpiralKvServer(params)
+    # the metric is "serve a FULL 1 GiB index": force the dense layout even
+    # though only one row is planted (the O(populated) CompactDb default
+    # would otherwise scan a few MB and flatter the number)
+    srv.dense_migrate_fill = -1.0
     value = bytes(range(256)) * 64  # 16 KiB payload
     srv.write_kv(json.dumps(
         {"bench-key": base64.b64encode(value).decode()}).encode())
@@ -271,6 +275,11 @@ def main():
     _enable_jit_cache()
     benches = [bench_scan_batch16, bench_scan_single_device,
                bench_doublepir_answer, bench_spiral_p50_1gib]
+    # optional argv filter for isolated re-runs: any substring of a bench
+    # name, e.g. `python bench.py p50 doublepir`
+    if len(sys.argv) > 1:
+        benches = [f for f in benches
+                   if any(a in f.__name__ for a in sys.argv[1:])]
     for fn in benches:
         try:
             _emit(fn())

@@ -95,17 +95,106 @@ def ingest_items_device(params: Params, raw_bytes):
     return ntt_forward(params, stacked)
 
 
+class CompactSlots:
+    """Host bookkeeping for the CompactDb layout: item index -> per-bin
+    slot assignment (the compact analog of the reference SparseDb's
+    id->offset map, db/sparse_db.rs:14-27)."""
+
+    def __init__(self, params: Params, cap_bin: int = 8):
+        self.num_per = 1 << params.db_dim_2
+        self.dim0 = 1 << params.db_dim_1
+        self.cap_bin = cap_bin
+        self.slot_of: dict[int, int] = {}        # item idx -> slot in its bin
+        self.bin_count = np.zeros(self.num_per, dtype=np.int64)
+
+    def assign(self, idxs):
+        """Assign slots for item idxs; returns (bins, slots, jvals, new_cap)
+        where new_cap > cap_bin iff the planes must grow first."""
+        bins = np.array([i % self.num_per for i in idxs], dtype=np.int64)
+        jvals = np.array([i // self.num_per for i in idxs], dtype=np.int64)
+        slots = np.empty(len(idxs), dtype=np.int64)
+        for n, idx in enumerate(idxs):
+            s = self.slot_of.get(idx)
+            if s is None:
+                b = int(bins[n])
+                s = int(self.bin_count[b])
+                self.bin_count[b] += 1
+                self.slot_of[idx] = s
+            slots[n] = s
+        new_cap = self.cap_bin
+        need = int(self.bin_count.max(initial=0))
+        while new_cap < need:
+            new_cap *= 2
+        return bins, slots, jvals, min(new_cap, self.dim0)
+
+    def clear(self) -> None:
+        self.slot_of.clear()
+        self.bin_count[:] = 0
+
+    def to_state(self) -> dict:
+        return {"cap_bin": self.cap_bin,
+                "slot_of": {str(k): v for k, v in self.slot_of.items()}}
+
+    def load_state(self, state: dict) -> None:
+        self.cap_bin = state["cap_bin"]
+        self.slot_of = {int(k): v for k, v in state["slot_of"].items()}
+        self.bin_count[:] = 0
+        for idx in self.slot_of:
+            self.bin_count[idx % self.num_per] += 1
+
+
+def compact_grow(db, new_cap: int):
+    """Pad a CompactDb's slot axis to new_cap (capacity-quantized growth)."""
+    import jax.numpy as jnp
+
+    pad = new_cap - db.planes[0].shape[-1]
+    if pad <= 0:
+        return db
+    from ..ops.spiral_jax import CompactDb
+
+    planes = tuple(jnp.pad(p, [(0, 0)] * (p.ndim - 1) + [(0, pad)])
+                   for p in db.planes)
+    idx_j = jnp.pad(db.idx_j, [(0, 0), (0, pad)])
+    return CompactDb(planes, idx_j)
+
+
+def compact_to_dense(params: Params, db):
+    """Device-side migration: scatter-ADD the compact columns onto a dense
+    zero tensor (adds from unoccupied slots are zeros — harmless no-ops, so
+    no occupancy mask is needed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.server_jax import db_zeros_device
+
+    num_per, cap = db.idx_j.shape
+    bins = jnp.broadcast_to(jnp.arange(num_per, dtype=jnp.int32)[:, None],
+                            (num_per, cap))
+
+    @jax.jit
+    def mig(planes_c, idx_j):
+        dense = db_zeros_device(params)
+        return tuple(d.at[:, :, :, bins, idx_j].add(p)
+                     for d, p in zip(dense, planes_c))
+
+    return mig(db.planes, db.idx_j)
+
+
 class DbUpdateBuffer:
     """Host-side buffer of pending item updates, flushed as one device
-    ingest + scatter (the TPU equivalent of SparseDb.upsert)."""
+    ingest + scatter (the TPU equivalent of SparseDb.upsert). Handles both
+    the dense limb-plane layout and the O(populated) CompactDb layout
+    (slot bookkeeping in self.slots)."""
 
     def __init__(self, params: Params, device_ingest: bool = True):
         self.params = params
         self.pending: dict[int, np.ndarray] = {}
         self.pending_raw: dict[int, np.ndarray] = {}
         self.device_ingest = device_ingest
+        self.slots = CompactSlots(params)
         self._jit_ingest = None
         self._jit_scatter = None
+        self._jit_scatter_compact = None
 
     def upsert(self, db_idx: int, ntt_chunks: np.ndarray) -> None:
         """ntt_chunks: (instances*trials, crt, poly_len) uint32 (host-side
@@ -127,19 +216,16 @@ class DbUpdateBuffer:
         self.pending_raw[db_idx] = buf.reshape(n_chunks, pt_len)
         self.pending.pop(db_idx, None)
 
-    def flush(self, db):
-        """Apply all pending updates to the device DB limb tensor
-        (crt, L, z, inst, trials, num_per, dim0); returns the new tensor."""
-        if not self.pending and not self.pending_raw:
-            return db
+    def _resolve_pending(self):
+        """Ingest pending raw rows on device and return (idxs, plane_vals):
+        sorted item indices + per-plane int8 limb value arrays
+        (z, inst, trials, K)."""
         import jax
         import jax.numpy as jnp
 
         from ..ops.spiral_jax import db_limbs_host
 
         params = self.params
-        num_per = 1 << params.db_dim_2
-
         if self.pending_raw:
             if self._jit_ingest is None:
                 self._jit_ingest = jax.jit(
@@ -164,6 +250,45 @@ class DbUpdateBuffer:
             jnp.asarray(limbs[k, c])
             for c in range(params.crt_count)
             for k in range(limbs.shape[0]))
+        return idxs, plane_vals
+
+    def flush(self, db):
+        """Apply all pending updates to the device DB; returns the new DB.
+        Dispatches on the layout: dense limb planes get one donated scatter
+        at (num_per, dim0) coordinates; a CompactDb gets slot assignment
+        (+ capacity-quantized growth) and a donated scatter at
+        (bin, slot)."""
+        if not self.pending and not self.pending_raw:
+            return db
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.spiral_jax import CompactDb
+
+        params = self.params
+        num_per = 1 << params.db_dim_2
+        idxs, plane_vals = self._resolve_pending()
+
+        if isinstance(db, CompactDb):
+            # the device array's slot capacity is authoritative
+            self.slots.cap_bin = int(db.planes[0].shape[-1])
+            bins, slotsv, jvals, new_cap = self.slots.assign(idxs)
+            if new_cap > self.slots.cap_bin:
+                db = compact_grow(db, new_cap)
+                self.slots.cap_bin = new_cap
+            if self._jit_scatter_compact is None:
+                self._jit_scatter_compact = jax.jit(
+                    lambda planes, ij, v, b, s, j1: (
+                        tuple(p.at[:, :, :, b, s].set(vc)
+                              for p, vc in zip(planes, v)),
+                        ij.at[b, s].set(j1)),
+                    donate_argnums=(0, 1))
+            planes, idx_j = self._jit_scatter_compact(
+                db.planes, db.idx_j, plane_vals, jnp.asarray(bins),
+                jnp.asarray(slotsv), jnp.asarray(jvals, dtype=jnp.int32))
+            self.pending.clear()
+            return CompactDb(planes, idx_j)
+
         ii = np.array([i % num_per for i in idxs])   # num_per coordinate
         jj = np.array([i // num_per for i in idxs])  # dim0 coordinate
         # donate the DB buffers: the scatter must not hold two copies of a

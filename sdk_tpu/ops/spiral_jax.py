@@ -22,6 +22,8 @@ Layout conventions (batch dims lead, poly axis last):
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -244,6 +246,78 @@ def db_limbs_host(params: Params, db_u32: np.ndarray) -> np.ndarray:
          for k in range(NUM_LIMBS)])
 
 
+class CompactDb(NamedTuple):
+    """O(populated) device DB (reference lib/server/src/db/sparse_db.rs:1-48,
+    which stores only populated polys; here: only populated first-dim
+    columns, bucketed per num_per bin).
+
+    planes: tuple of crt*NUM_LIMBS int8 arrays
+            (z, inst, trials, num_per, cap_bin) — per num_per bin, up to
+            cap_bin populated columns' limb values, zero where unoccupied
+            (zero columns contribute exactly zero, so unoccupied slots
+            never affect results).
+    idx_j:  (num_per, cap_bin) int32 — each slot's dim0 coordinate
+            (0 where unoccupied; harmless, see above).
+
+    cap_bin is capacity-quantized (grown in powers of two by the host-side
+    buffer) so jit retraces are bounded; cap_bin <= dim0 always (a bin holds
+    at most dim0 items), so compact never exceeds the dense footprint.
+    NamedTuple => a JAX pytree, so it passes through jit directly.
+    """
+
+    planes: tuple
+    idx_j: object
+
+
+def compact_db_empty(params: Params, cap_bin: int = 8) -> CompactDb:
+    """Empty compact DB: O(num_per * cap_bin) HBM instead of the full
+    2^(nu_1+nu_2) space."""
+    num_per = 1 << params.db_dim_2
+    shape = (params.poly_len, params.instances, params.n * params.n,
+             num_per, cap_bin)
+    planes = tuple(jnp.zeros(shape, dtype=jnp.int8)
+                   for _ in range(params.crt_count * NUM_LIMBS))
+    return CompactDb(planes, jnp.zeros((num_per, cap_bin), dtype=jnp.int32))
+
+
+def _firstdim_multiply_compact(params: Params, db: CompactDb, q_arr):
+    """Compact first-dim multiply: gather each bin's populated query columns
+    (idx_j) and contract over the per-bin slot axis. Limb products, weight
+    regrouping and Shoup recombination are identical to the dense path on
+    identically-valued int32 partial sums (unoccupied slots contribute
+    exactly zero), so outputs are bit-identical to dense firstdim_multiply
+    on the equivalent dense tensor. Per-bin sums span <= cap_bin <= dim0
+    terms — the same int32 bound as dense."""
+    planes, idx_j = db.planes, db.idx_j
+    Z, inst, trials, npr, cap = planes[0].shape
+    R = q_arr.shape[-1]
+    out_ch = []
+    for c, q in enumerate(params.moduli):
+        q_limbs = _to_limbs_i8(q_arr[c])                 # each (z, dim0, R)
+        q_stack = jnp.concatenate(q_limbs, axis=-1)      # (z, dim0, L*R)
+        q_g = jnp.take(q_stack, idx_j, axis=1)           # (z, npr, cap, L*R)
+        parts = []
+        for k in range(NUM_LIMBS):
+            d = planes[c * NUM_LIMBS + k].astype(jnp.int32)
+            # (z, inst, trials, npr, cap) x (z, npr, cap, L*R)
+            parts.append(jnp.einsum(
+                "zatnc,zncr->zatnr", d, q_g.astype(jnp.int32),
+                preferred_element_type=jnp.int32))
+        partials = [None] * (2 * NUM_LIMBS - 1)
+        for k in range(NUM_LIMBS):
+            for l in range(NUM_LIMBS):
+                m = parts[k][..., l * R : (l + 1) * R]
+                s = k + l
+                partials[s] = m if partials[s] is None else partials[s] + m
+        acc = None
+        for s, p in enumerate(partials):
+            term = shoup_mulmod_lazy(p.astype(U32), (1 << (LIMB_BITS * s)) % q, q)
+            acc = term if acc is None else acc + term   # < 14q < 2^32
+        acc = reduce_u32_mod_q(acc, q)
+        out_ch.append(acc)
+    return jnp.stack(out_ch, axis=0)                     # (crt,z,a,t,npr,R)
+
+
 def firstdim_multiply(params: Params, db_planes, q_arr):
     """Encrypted-query x DB matvec (reference compute/dot_product.rs).
 
@@ -264,7 +338,11 @@ def firstdim_multiply(params: Params, db_planes, q_arr):
     measured ~2.3x slower). Limb partials regroup by weight s=k+l (int32
     sums < 2^27) and recombine with Shoup multiplications by
     (2^(7s) mod q), sum < 14q < 2^32.
+
+    A CompactDb db dispatches to the O(populated) compact scan.
     """
+    if isinstance(db_planes, CompactDb):
+        return _firstdim_multiply_compact(params, db_planes, q_arr)
     Z, inst, trials, npr, dim0 = db_planes[0].shape
     R = q_arr.shape[-1]
     IT = inst * trials
@@ -603,14 +681,20 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
         b_lo = cts_lo[..., num_per : 2 * num_per, :, :, :]
         za = jnp.all((a_hi == 0) & (a_lo == 0), axis=(-3, -2, -1))
         zb = jnp.all((b_hi == 0) & (b_lo == 0), axis=(-3, -2, -1))
+        # Fused per-round compute: V_neg@G(a) + V_fold@G(b) is ONE matmul
+        # [V_neg | V_fold] @ [G(a); G(b)] with doubled contraction dim, and
+        # both halves' digit NTTs run as one batched call. Digits are
+        # < 2^bits_per < 4q, within the forward NTT's lazy input range, so
+        # the mod-q pre-reduction of to_ntt is skipped (outputs stay
+        # canonical — bit-exact vs the host oracle either way).
         ginv_a = gadget_digits(params, a_hi, a_lo, ell, 2)
         ginv_b = gadget_digits(params, b_hi, b_lo, ell, 2)
-        ga_ntt = to_ntt(params, *_pair_id(ginv_a, params))
-        gb_ntt = to_ntt(params, *_pair_id(ginv_b, params))
+        g_ntt = to_ntt_no_reduce(
+            params, jnp.concatenate([ginv_a, ginv_b], axis=-3))
         key = further_dims - 1 - cur_dim
-        prod = matmul_mod(params, v_folding_neg[key], ga_ntt)
-        summ = matmul_mod(params, v_folding[key], gb_ntt)
-        f_hi, f_lo = from_ntt(params, add_mod(params, summ, prod))
+        v_cat = jnp.concatenate(
+            [v_folding_neg[key], v_folding[key]], axis=1)
+        f_hi, f_lo = from_ntt(params, matmul_mod(params, v_cat, g_ntt))
         za = za[..., None, None, None]
         zb = zb[..., None, None, None]
         cts_hi = jnp.where(za, b_hi, jnp.where(zb, a_hi, f_hi))

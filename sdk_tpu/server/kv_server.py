@@ -56,11 +56,21 @@ class SpiralKvServer:
         # (sdk_tpu.ops.shard; the production shape of the reference's
         # per-instance parallelism, lib/server/src/server.rs:53-96).
         self.engine = SpiralServerJax(params, mesh=mesh)
-        from ..ops.server_jax import db_zeros_device
-
-        db0 = db_zeros_device(params)
+        # Unsharded buckets start in the O(populated) CompactDb layout (the
+        # reference SparseDb's memory model, db/sparse_db.rs:1-48): an empty
+        # bucket pins ~cap_bin/dim0 of the dense HBM footprint. Once the
+        # populated fraction crosses dense_migrate_fill the index migrates
+        # to the dense limb planes (faster per-byte MXU scan). Sharded
+        # serving always runs dense.
+        self.dense_migrate_fill = 0.25
         if self.engine._sharded is not None:
-            db0 = self.engine._sharded.shard_db(db0)
+            from ..ops.server_jax import db_zeros_device
+
+            db0 = self.engine._sharded.shard_db(db_zeros_device(params))
+        else:
+            from ..ops.spiral_jax import compact_db_empty
+
+            db0 = compact_db_empty(params)
         self.engine.db = db0
         self._updates = DbUpdateBuffer(params)
         # populated item indices (over-approximation of nonzero DB rows):
@@ -128,6 +138,15 @@ class SpiralKvServer:
         return largest
 
     def _flush(self):
+        from ..ops.spiral_jax import CompactDb
+
+        if (isinstance(self.engine.db, CompactDb)
+                and len(self._populated_items)
+                > self.dense_migrate_fill * self.params.num_items()):
+            from ..kv.ingest import compact_to_dense
+
+            self.engine.db = compact_to_dense(self.params, self.engine.db)
+            self._updates.slots.clear()
         db = self._updates.flush(self.engine.db)
         if db is not self.engine.db and self.engine._sharded is not None:
             # the scatter may not preserve the NamedSharding; re-pin
@@ -219,11 +238,20 @@ class SpiralKvServer:
                 r.clear()
             import jax
 
-            db0 = jax.tree.map(jnp.zeros_like, self.engine.db)
-            if self.engine._sharded is not None:
+            if self.engine._sharded is None:
+                # drop back to a fresh minimal compact index (releases the
+                # dense HBM if the bucket had migrated)
+                from ..kv.ingest import CompactSlots
+                from ..ops.spiral_jax import compact_db_empty
+
+                db0 = compact_db_empty(self.params)
+                self._updates.slots = CompactSlots(self.params)
+            else:
+                db0 = jax.tree.map(jnp.zeros_like, self.engine.db)
                 db0 = self.engine._sharded.shard_db(db0)
             self.engine.db = db0
             self._updates.pending.clear()
+            self._updates.pending_raw.clear()
             self._populated_items.clear()
             self._pop_dirty = False
             self.engine.set_populated_dim0(None)
@@ -274,11 +302,14 @@ class SpiralKvServer:
         import pickle
 
         os.makedirs(path, exist_ok=True)
+        from ..ops.spiral_jax import CompactDb
+
         with self.lock:
             self._flush()
+            compact = isinstance(self.engine.db, CompactDb)
+            planes = self.engine.db.planes if compact else self.engine.db
             # stream one limb plane at a time into the .npy (a full
             # np.stack would double host RAM at multi-GB indexes)
-            planes = self.engine.db
             shape = (len(planes),) + tuple(planes[0].shape)
             out = np.lib.format.open_memmap(
                 os.path.join(path, "db_tensor.npy"), mode="w+",
@@ -287,13 +318,19 @@ class SpiralKvServer:
                 out[i] = np.asarray(p)
             out.flush()
             del out
+            if compact:
+                np.save(os.path.join(path, "db_idx_j.npy"),
+                        np.asarray(self.engine.db.idx_j))
             with open(os.path.join(path, "rows.pkl"), "wb") as f:
                 pickle.dump([bytes(r) for r in self.rows], f)
             state = {"version": self.version,
                      "params_json": self.params_json,
                      "key_storage_policy": self.key_storage_policy,
                      "stored_keys": sorted(self._stored_keys),
-                     "populated_items": sorted(self._populated_items)}
+                     "populated_items": sorted(self._populated_items),
+                     "db_format": "compact" if compact else "dense"}
+            if compact:
+                state["compact_slots"] = self._updates.slots.to_state()
             if self._key_bloom is not None:
                 state["key_bloom"] = self._key_bloom.to_bytes().hex()
             with open(os.path.join(path, "state.json"), "w") as f:
@@ -306,8 +343,11 @@ class SpiralKvServer:
         import jax.numpy as jnp
 
         with self.lock:
-            from ..ops.spiral_jax import NUM_LIMBS, db_limbs_host
+            from ..kv.ingest import CompactSlots
+            from ..ops.spiral_jax import NUM_LIMBS, CompactDb, db_limbs_host
 
+            with open(os.path.join(path, "state.json")) as f:
+                state = json.load(f)
             db = np.load(os.path.join(path, "db_tensor.npy"))
             crt = self.params.crt_count
             if db.ndim == 6 and db.dtype == np.uint32:
@@ -318,21 +358,28 @@ class SpiralKvServer:
                 planes = tuple(limbs[k, c] for c in range(crt)
                                for k in range(limbs.shape[0]))
             else:
-                # current format: stacked (crt*L, z, inst, trials, i, j) int8
+                # current format: stacked (crt*L, z, inst, trials, i, cols)
+                # int8; cols = dim0 (dense) or cap_bin (compact)
                 assert db.ndim == 6 and db.dtype == np.int8, (
                     db.shape, db.dtype)
                 planes = tuple(db[i] for i in range(db.shape[0]))
             assert len(planes) == crt * NUM_LIMBS
-            assert planes[0].shape == self.engine.db[0].shape, (
-                planes[0].shape, self.engine.db[0].shape)
             db_dev = tuple(jnp.asarray(p) for p in planes)
-            if self.engine._sharded is not None:
-                db_dev = self.engine._sharded.shard_db(db_dev)
-            self.engine.db = db_dev
+            if state.get("db_format") == "compact":
+                assert self.engine._sharded is None
+                idx_j = jnp.asarray(
+                    np.load(os.path.join(path, "db_idx_j.npy")))
+                self.engine.db = CompactDb(db_dev, idx_j)
+                slots = CompactSlots(self.params)
+                slots.load_state(state["compact_slots"])
+                assert slots.cap_bin == planes[0].shape[-1]
+                self._updates.slots = slots
+            else:
+                if self.engine._sharded is not None:
+                    db_dev = self.engine._sharded.shard_db(db_dev)
+                self.engine.db = db_dev
             with open(os.path.join(path, "rows.pkl"), "rb") as f:
                 self.rows = [bytearray(r) for r in pickle.load(f)]
-            with open(os.path.join(path, "state.json")) as f:
-                state = json.load(f)
             self.version = state["version"]
             self._stored_keys = set(state.get("stored_keys", []))
             if "populated_items" in state:
