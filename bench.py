@@ -272,21 +272,40 @@ def _enable_jit_cache() -> None:
 
 
 def main():
-    _enable_jit_cache()
     benches = [bench_scan_batch16, bench_scan_single_device,
                bench_doublepir_answer, bench_spiral_p50_1gib]
-    # optional argv filter for isolated re-runs: any substring of a bench
-    # name, e.g. `python bench.py p50 doublepir`
-    if len(sys.argv) > 1:
+    # optional argv filter: any substring of a bench name, e.g.
+    # `python bench.py p50 doublepir`
+    args = [a for a in sys.argv[1:] if a != "--inproc"]
+    if args:
         benches = [f for f in benches
-                   if any(a in f.__name__ for a in sys.argv[1:])]
+                   if any(a in f.__name__ for a in args)]
+
+    if "--inproc" in sys.argv:
+        _enable_jit_cache()
+        for fn in benches:
+            try:
+                _emit(fn())
+            except Exception:  # noqa: BLE001 — one failed metric must not kill the rest
+                print(f"bench {fn.__name__} failed:\n{traceback.format_exc()}",
+                      file=sys.stderr, flush=True)
+            gc.collect()  # free device buffers before the next metric
+        return
+
+    # Each metric runs in a FRESH subprocess: device-memory state from one
+    # bench measurably contaminates the next in-process (the 8.6 GB
+    # DoublePIR answer ran 2x slower after the scan benches' allocations —
+    # 106 vs 204 GB/s isolated), and a clean process is the only reliable
+    # reset of the XLA allocator. The persistent jit cache keeps repeat
+    # compiles cheap.
+    import subprocess
+
     for fn in benches:
-        try:
-            _emit(fn())
-        except Exception:  # noqa: BLE001 — one failed metric must not kill the rest
-            print(f"bench {fn.__name__} failed:\n{traceback.format_exc()}",
+        rc = subprocess.run(
+            [sys.executable, __file__, fn.__name__, "--inproc"]).returncode
+        if rc != 0:
+            print(f"bench {fn.__name__} subprocess rc={rc}",
                   file=sys.stderr, flush=True)
-        gc.collect()  # free device buffers before the next metric
 
 
 if __name__ == "__main__":

@@ -38,8 +38,7 @@ from . import scheme
 from .database import DbInfo
 from .jax_kernels import (LIMB_BITS, mat_mul_vec_packed_traced,
                           matmul_u32_traced, unsquish_traced)
-from .matrix import (SQUISH_BASIS, SQUISH_DELTA, U32, mat_mul_vec_packed,
-                     transpose_expand_concat_cols_squish)
+from .matrix import SQUISH_BASIS, SQUISH_DELTA, U32
 from .params import Params
 
 NB_LIMBS = 5  # ceil(32 / 7): limbs of a full u32 operand
@@ -101,8 +100,7 @@ class ChecklistServerJax:
         self.h1_sq = None       # device (n*delta, ceil(l/3)) u32
         self.a_2_t = None       # host   (n, l padded to 3) u32
         self._batch_cache: dict[int, jnp.ndarray] = {}
-        self._jit_l1 = None
-        self._jit_l2 = jax.jit(mat_mul_vec_packed_traced)
+        self._jit_answer = None
 
     # ---- setup (reference doublepir.rs:76-108, all matmuls on device) ----
 
@@ -162,10 +160,6 @@ class ChecklistServerJax:
         # (delta*x, l) x (l, n) matmul — milliseconds on the MXU, seconds
         # in host numpy at the production l
         self._a2_pad_dev = jnp.asarray(a2c)
-        self._jit_msg0 = jax.jit(
-            lambda a1t_sq, a2p: matmul_u32_traced(
-                unsquish_traced(a1t_sq, a2p.shape[0]), a2p,
-                a_bits=SQUISH_BASIS))
         return [np.asarray(h2)]
 
     # ---- answer (reference doublepir.rs:246-350, one pass, diag select) --
@@ -180,34 +174,51 @@ class ChecklistServerJax:
             self._batch_cache[nq] = idx
         return idx
 
+    def _answer_fused(self, db_i8, h1_sq, a2p, q1, q2, bidx):
+        """The WHOLE batched answer as one traced program: level-1 DB pass
+        + diagonal row-batch select, the a_1 -> squished-a_1^T glue
+        transform (transpose_expand_concat_cols_squish for cols=concat=1,
+        on device — exact u32 digit arithmetic, identical to the host),
+        msg[0], and both level-2 packed matvecs. One dispatch instead of
+        three dispatch+fetch round trips and a host packed matvec (each
+        ~30-100 ms through the tunnel)."""
+        params = self.params
+        p, delta = params.p, params.delta()
+        z = _dot_i8_u32(db_i8, q1)
+        z = z + (jnp.uint32(128) * _colsum_u32(q1))[None, :]
+        a_1 = jnp.take_along_axis(z, bidx, axis=1)[:, 0]      # (l,)
+        # squish: out[f][j//3] += digit_f(a_1[j]) << (10*(j%3)); digits
+        # < p < 2^10 occupy disjoint bit ranges so the sum never carries
+        pad = (-a_1.shape[0]) % SQUISH_DELTA
+        v = a_1
+        rows = []
+        for _ in range(delta):
+            d = jnp.pad(v % jnp.uint32(p), (0, pad)).reshape(-1, SQUISH_DELTA)
+            v = v // jnp.uint32(p)
+            rows.append(sum((d[:, k] << jnp.uint32(SQUISH_BASIS * k))
+                            for k in range(SQUISH_DELTA)))
+        a_1t = jnp.stack(rows)                               # (delta, ceil(l/3))
+        msg0 = matmul_u32_traced(unsquish_traced(a_1t, a2p.shape[0]), a2p,
+                                 a_bits=SQUISH_BASIS)
+        a_2 = mat_mul_vec_packed_traced(h1_sq, q2)
+        h_2 = mat_mul_vec_packed_traced(a_1t, q2)
+        return msg0, a_2, h_2
+
     def answer(self, queries: list[list[np.ndarray]]) -> list[np.ndarray]:
         """Bit-exact mirror of scheme.answer for this config (x = ne = 1)."""
         params = self.params
         m = params.m
         nq = len(queries)
         q1_all = np.concatenate([q[0][:m] for q in queries], axis=1)
-
-        if self._jit_l1 is None:
-            @jax.jit
-            def _l1(db_i8, q1, bidx):
-                z = _dot_i8_u32(db_i8, q1)
-                z = z + (jnp.uint32(128) * _colsum_u32(q1))[None, :]
-                return jnp.take_along_axis(z, bidx, axis=1)
-
-            self._jit_l1 = _l1
-
-        a_1 = np.asarray(self._jit_l1(self.db, jnp.asarray(q1_all),
-                                      self._batch_index(nq)))   # (l, 1)
-
-        a_1t = transpose_expand_concat_cols_squish(
-            a_1, params.p, params.delta(), self.info.x)
-        msg: list[np.ndarray] = [np.asarray(
-            self._jit_msg0(jnp.asarray(a_1t), self._a2_pad_dev))]
-
         q2_all = np.concatenate([q[1] for q in queries], axis=1)
-        a_2_all = np.asarray(self._jit_l2(self.h1_sq, jnp.asarray(q2_all)))
-        h_2_all = mat_mul_vec_packed(a_1t, q2_all)
-        for k in range(q2_all.shape[1]):
-            msg.append(np.ascontiguousarray(a_2_all[:, k : k + 1]))
-            msg.append(np.ascontiguousarray(h_2_all[:, k : k + 1]))
+        if self._jit_answer is None:
+            self._jit_answer = jax.jit(self._answer_fused)
+        msg0, a_2_all, h_2_all = self._jit_answer(
+            self.db, self.h1_sq, self._a2_pad_dev, jnp.asarray(q1_all),
+            jnp.asarray(q2_all), self._batch_index(nq))
+        msg: list[np.ndarray] = [np.asarray(msg0)]
+        a_2_np, h_2_np = np.asarray(a_2_all), np.asarray(h_2_all)
+        for k in range(nq):
+            msg.append(np.ascontiguousarray(a_2_np[:, k : k + 1]))
+            msg.append(np.ascontiguousarray(h_2_np[:, k : k + 1]))
         return msg

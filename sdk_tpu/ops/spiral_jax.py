@@ -280,6 +280,9 @@ def compact_db_empty(params: Params, cap_bin: int = 8) -> CompactDb:
     return CompactDb(planes, jnp.zeros((num_per, cap_bin), dtype=jnp.int32))
 
 
+_COMPACT_CAP_CHUNK = 64  # slot-axis chunk; see fusion-cliff note below
+
+
 def _firstdim_multiply_compact(params: Params, db: CompactDb, q_arr):
     """Compact first-dim multiply: gather each bin's populated query columns
     (idx_j) and contract over the per-bin slot axis. Limb products, weight
@@ -296,13 +299,27 @@ def _firstdim_multiply_compact(params: Params, db: CompactDb, q_arr):
         q_limbs = _to_limbs_i8(q_arr[c])                 # each (z, dim0, R)
         q_stack = jnp.concatenate(q_limbs, axis=-1)      # (z, dim0, L*R)
         q_g = jnp.take(q_stack, idx_j, axis=1)           # (z, npr, cap, L*R)
+        # broadcast-multiply + reduce over the slot axis, NOT an einsum:
+        # the per-bin contraction makes dot_general lower to ~npr*z tiny
+        # batched GEMMs with a fixed ~30 ms overhead (measured flat in cap
+        # on v5e), while the explicit mul+sum fuses on the VPU and scales
+        # with the compact bytes actually read. int32 is exact: products
+        # <= 127^2, summed over cap <= dim0 terms (same bound as dense).
+        qg32 = q_g.astype(jnp.int32)[:, None, None]      # (z,1,1,npr,cap,L*R)
+        # chunk the slot axis so the fused mul+reduce intermediate stays
+        # small enough for XLA to keep on-chip: unchunked, cap >= 128 at
+        # the 1 GiB shape falls off a 25x cliff (4->21 ms scaling up to
+        # cap 64, then 517 ms at 128 — the product stops fusing)
         parts = []
         for k in range(NUM_LIMBS):
             d = planes[c * NUM_LIMBS + k].astype(jnp.int32)
-            # (z, inst, trials, npr, cap) x (z, npr, cap, L*R)
-            parts.append(jnp.einsum(
-                "zatnc,zncr->zatnr", d, q_g.astype(jnp.int32),
-                preferred_element_type=jnp.int32))
+            acc_p = None
+            for s0 in range(0, cap, _COMPACT_CAP_CHUNK):
+                s1 = min(cap, s0 + _COMPACT_CAP_CHUNK)
+                t = jnp.sum(d[..., s0:s1, None] * qg32[..., s0:s1, :],
+                            axis=-2)
+                acc_p = t if acc_p is None else acc_p + t
+            parts.append(acc_p)
         partials = [None] * (2 * NUM_LIMBS - 1)
         for k in range(NUM_LIMBS):
             for l in range(NUM_LIMBS):

@@ -60,9 +60,10 @@ class SpiralKvServer:
         # reference SparseDb's memory model, db/sparse_db.rs:1-48): an empty
         # bucket pins ~cap_bin/dim0 of the dense HBM footprint. Once the
         # populated fraction crosses dense_migrate_fill the index migrates
-        # to the dense limb planes (faster per-byte MXU scan). Sharded
-        # serving always runs dense.
-        self.dense_migrate_fill = 0.25
+        # to the dense limb planes (faster per-byte MXU scan; measured
+        # crossover ~12.5% fill at the 1 GiB shape — tools/
+        # profile_compact.py). Sharded serving always runs dense.
+        self.dense_migrate_fill = 0.125
         if self.engine._sharded is not None:
             from ..ops.server_jax import db_zeros_device
 

@@ -78,6 +78,42 @@ def test_compact_scan_bit_exact_vs_dense():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_compact_scan_cap_chunking_bit_exact(monkeypatch):
+    """The slot-axis chunking (fusion-cliff guard) must not change results:
+    force a tiny chunk so every cap spans several chunks plus a ragged
+    tail, and compare against dense."""
+    import jax.numpy as jnp
+
+    from sdk_tpu.kv.ingest import DbUpdateBuffer
+    from sdk_tpu.ops import spiral_jax as sj
+    from sdk_tpu.ops.server_jax import db_zeros_device
+
+    monkeypatch.setattr(sj, "_COMPACT_CAP_CHUNK", 3)
+    params = _tiny_params()
+    rng = np.random.default_rng(7)
+    num_items = params.num_items()
+    # enough writes that some bin's cap grows past one chunk (3, 3, 2)
+    datas = {i: _rand_row(params, rng) for i in range(0, num_items, 4)}
+
+    bd = DbUpdateBuffer(params)
+    bc = DbUpdateBuffer(params)
+    for i, d in datas.items():
+        bd.upsert_raw(i, d)
+        bc.upsert_raw(i, d)
+    dense = bd.flush(db_zeros_device(params))
+    compact = bc.flush(sj.compact_db_empty(params, cap_bin=8))
+    assert isinstance(compact, sj.CompactDb)
+    assert compact.planes[0].shape[-1] > 3  # spans >1 chunk
+
+    q_arr = jnp.asarray(np.stack(
+        [rng.integers(0, q, (params.poly_len, 1 << params.db_dim_1, 2),
+                      dtype=np.uint64).astype(np.uint32)
+         for q in params.moduli]))
+    np.testing.assert_array_equal(
+        np.asarray(sj.firstdim_multiply(params, dense, q_arr)),
+        np.asarray(sj.firstdim_multiply(params, compact, q_arr)))
+
+
 def test_empty_bucket_memory_is_o_populated():
     from sdk_tpu.ops.spiral_jax import CompactDb
     from sdk_tpu.server.kv_server import SpiralKvServer
