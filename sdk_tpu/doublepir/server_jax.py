@@ -72,10 +72,19 @@ def _colsum_u32(b_u32):
 
 
 class ChecklistServerJax:
-    """Full device-resident DoublePIR server for P=8 (byte-element) DBs."""
+    """Full device-resident DoublePIR server for P=8 (byte-element) DBs.
+
+    With ``mesh`` (a jax.sharding.Mesh carrying a "db" axis) the DB rows
+    shard over the mesh — checklist DBs larger than one chip's HBM serve
+    from N chips, the reference chunk-and-sum pattern
+    (lib/doublepir/src/bin/e2e.rs:60-106) as ICI collectives: level-1 pass,
+    diagonal select and squish are row-local; msg0 and both level-2
+    matvecs psum their contraction-over-l partials (uint32 adds wrap, so
+    the psum is exact mod 2^32). Answers are bit-identical to the
+    single-device server (test_doublepir_server_jax)."""
 
     def __init__(self, num_entries: int, params: Params,
-                 bit_bytes: np.ndarray | None, *, db_dev=None):
+                 bit_bytes: np.ndarray | None, *, db_dev=None, mesh=None):
         info = DbInfo.new(num_entries, 1, params)
         if not (info.packing == 8 and info.ne == 1 and info.x == 1):
             raise ValueError(
@@ -85,22 +94,46 @@ class ChecklistServerJax:
             "limb accumulation bound requires m, l < 132153"
         self.params = params
         self.info = info
+        self.mesh = mesh
         l, m = params.l, params.m
+        # row count padded so every shard's rows are a multiple of the
+        # squish width (pad rows hold byte 0 == int8 -128: their level-1
+        # output is (-128 + 128)*colsum == 0, exactly a zero-digit row)
+        ndev = mesh.shape["db"] if mesh is not None else 1
+        self.l_pad = -(-l // (SQUISH_DELTA * ndev)) * (SQUISH_DELTA * ndev) \
+            if mesh is not None else l
         if db_dev is not None:
             assert db_dev.shape == (l, m) and db_dev.dtype == jnp.int8
-            self.db = db_dev
+            self.db = self._shard_rows(db_dev, fill=-128)
         else:
             # one byte per element, LSB-first bit groups; tail elements are
             # zero bytes (Db.from_packed_bits P=8 fast path)
             nbytes = (num_entries + 7) // 8
-            flat = np.zeros(l * m, dtype=np.uint8)
-            flat[:nbytes] = np.asarray(bit_bytes, dtype=np.uint8)[:nbytes]
-            self.db = jnp.asarray(
-                (flat.reshape(l, m).astype(np.int16) - 128).astype(np.int8))
+            flat = np.zeros(self.l_pad * m, dtype=np.uint8)
+            flat[: min(nbytes, l * m)] = np.asarray(
+                bit_bytes, dtype=np.uint8)[: min(nbytes, l * m)]
+            db_i8 = (flat.reshape(self.l_pad, m)
+                     .astype(np.int16) - 128).astype(np.int8)
+            self.db = self._shard_rows(db_i8, fill=-128, pre_padded=True)
         self.h1_sq = None       # device (n*delta, ceil(l/3)) u32
         self.a_2_t = None       # host   (n, l padded to 3) u32
         self._batch_cache: dict[int, jnp.ndarray] = {}
         self._jit_answer = None
+
+    # ---- sharding helpers ------------------------------------------------
+
+    def _shard_rows(self, arr, fill=0, pre_padded: bool = False):
+        """Pad rows to l_pad and (if sharded) place P("db", None)."""
+        import jax.sharding as jsh
+
+        if not pre_padded and arr.shape[0] < self.l_pad:
+            pad = np.full((self.l_pad - arr.shape[0],) + arr.shape[1:], fill,
+                          dtype=arr.dtype)
+            arr = np.concatenate([np.asarray(arr), pad], axis=0)
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        return jax.device_put(jnp.asarray(arr), jsh.NamedSharding(
+            self.mesh, jsh.PartitionSpec("db", None)))
 
     # ---- setup (reference doublepir.rs:76-108, all matmuls on device) ----
 
@@ -149,7 +182,11 @@ class ChecklistServerJax:
                         for k in range(SQUISH_DELTA))
             return h1_sq.astype(jnp.uint32), h2
 
-        self.h1_sq, h2 = _setup(self.db, jnp.asarray(a_1), jnp.asarray(a_2))
+        if self.mesh is None:
+            self.h1_sq, h2 = _setup(self.db, jnp.asarray(a_1),
+                                    jnp.asarray(a_2))
+        else:
+            self.h1_sq, h2 = self._setup_sharded(a_1, a_2)
         self.h1_sq.block_until_ready()
         a2c = a_2
         if a2c.shape[0] % SQUISH_DELTA != 0:
@@ -159,18 +196,79 @@ class ChecklistServerJax:
         # row-padded A2 stays on device: msg[0] = unsquish(a_1t) @ A2 is a
         # (delta*x, l) x (l, n) matmul — milliseconds on the MXU, seconds
         # in host numpy at the production l
-        self._a2_pad_dev = jnp.asarray(a2c)
+        self._a2_pad_dev = self._shard_rows(a2c) if self.mesh is not None \
+            else jnp.asarray(a2c)
         return [np.asarray(h2)]
+
+    def _setup_sharded(self, a_1: np.ndarray, a_2: np.ndarray):
+        """shard_map setup: H1, its digit planes and the squished H1 are
+        row-local (digits zero-masked at pad rows — the host squish pads
+        with zero digits, and pad columns of H1 are NOT zero because of the
+        -p/2 recentering correction); H2 psums the contraction over l.
+        Returns (h1_sq sharded P(None, "db"), h2 replicated)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.shard import shard_map
+
+        params = self.params
+        p, delta = params.p, params.delta()
+        l, n = params.l, a_1.shape[1]
+        mask = np.zeros(self.l_pad, dtype=np.uint32)
+        mask[:l] = 1
+
+        def _setup_local(db_i8, a1, a2, msk):
+            h1 = _dot_i8_u32(db_i8, a1)
+            h1 = h1 + (jnp.uint32((128 - p // 2) & 0xFFFFFFFF)
+                       * _colsum_u32(a1))[None, :]
+            h1t = jnp.transpose(h1)                      # (n, R)
+            digs, v = [], h1t
+            for _ in range(delta):
+                digs.append((v % jnp.uint32(p)) * msk[None, :])
+                v = v // jnp.uint32(p)
+            corr = (jnp.uint32((-(p // 2)) & 0xFFFFFFFF)
+                    * jax.lax.psum(_colsum_u32(a2), "db"))[None, :]
+            h2_planes = []
+            for d in digs:
+                lo = (d & jnp.uint32(127)).astype(jnp.int8)
+                hi = (d >> jnp.uint32(7)).astype(jnp.int8)
+                h2_planes.append(_dot_i8_u32(lo, a2)
+                                 + (_dot_i8_u32(hi, a2) << jnp.uint32(7)))
+            h2 = jax.lax.psum(
+                jnp.stack(h2_planes, axis=1).reshape(n * delta, -1),
+                "db") + corr
+            dig_il = jnp.stack(digs, axis=1).reshape(n * delta, -1)
+            dig_p = dig_il.reshape(n * delta, -1, SQUISH_DELTA)
+            h1_sq = sum((dig_p[:, :, k] << jnp.uint32(10 * k))
+                        for k in range(SQUISH_DELTA))
+            return h1_sq.astype(jnp.uint32), h2
+
+        fn = shard_map(
+            _setup_local, mesh=self.mesh,
+            in_specs=(P("db", None), P(None, None), P("db", None),
+                      P("db")),
+            out_specs=(P(None, "db"), P(None, None)), check_rep=False)
+        return jax.jit(fn)(self.db, jnp.asarray(a_1), self._shard_rows(a_2),
+                           jax.device_put(jnp.asarray(mask),
+                                          jax.sharding.NamedSharding(
+                                              self.mesh,
+                                              jax.sharding.PartitionSpec(
+                                                  "db"))))
 
     # ---- answer (reference doublepir.rs:246-350, one pass, diag select) --
 
     def _batch_index(self, nq: int):
         idx = self._batch_cache.get(nq)
         if idx is None:
-            l = self.params.l
-            bs = l // nq
-            idx = jnp.asarray(np.minimum(np.arange(l) // bs, nq - 1)
-                              .astype(np.int32)[:, None])
+            bs = self.params.l // nq
+            arr = np.minimum(np.arange(self.l_pad) // bs, nq - 1) \
+                .astype(np.int32)[:, None]
+            if self.mesh is not None:
+                import jax.sharding as jsh
+
+                idx = jax.device_put(jnp.asarray(arr), jsh.NamedSharding(
+                    self.mesh, jsh.PartitionSpec("db", None)))
+            else:
+                idx = jnp.asarray(arr)
             self._batch_cache[nq] = idx
         return idx
 
@@ -204,6 +302,26 @@ class ChecklistServerJax:
         h_2 = mat_mul_vec_packed_traced(a_1t, q2)
         return msg0, a_2, h_2
 
+    def _make_sharded_answer(self):
+        """The fused answer under shard_map: the local program is the SAME
+        _answer_fused (level-1, diag select, squish — all row-local), with
+        the three contraction-over-l outputs psum'd over "db" (uint32 adds
+        wrap, so the collective is exact mod 2^32)."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops.shard import shard_map
+
+        def local(db, h1sq, a2p, q1, q2, bidx):
+            msg0, a_2, h_2 = self._answer_fused(db, h1sq, a2p, q1, q2, bidx)
+            return (jax.lax.psum(msg0, "db"), jax.lax.psum(a_2, "db"),
+                    jax.lax.psum(h_2, "db"))
+
+        return jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P("db", None), P(None, "db"), P("db", None),
+                      P(None, None), P("db", None), P("db", None)),
+            out_specs=(P(None, None),) * 3, check_rep=False))
+
     def answer(self, queries: list[list[np.ndarray]]) -> list[np.ndarray]:
         """Bit-exact mirror of scheme.answer for this config (x = ne = 1)."""
         params = self.params
@@ -211,11 +329,18 @@ class ChecklistServerJax:
         nq = len(queries)
         q1_all = np.concatenate([q[0][:m] for q in queries], axis=1)
         q2_all = np.concatenate([q[1] for q in queries], axis=1)
+        if q2_all.shape[0] < self.l_pad:
+            q2_all = np.vstack([q2_all, np.zeros(
+                (self.l_pad - q2_all.shape[0], nq), dtype=q2_all.dtype)])
         if self._jit_answer is None:
-            self._jit_answer = jax.jit(self._answer_fused)
+            self._jit_answer = (jax.jit(self._answer_fused)
+                                if self.mesh is None
+                                else self._make_sharded_answer())
+        q2_dev = self._shard_rows(q2_all) if self.mesh is not None \
+            else jnp.asarray(q2_all)
         msg0, a_2_all, h_2_all = self._jit_answer(
             self.db, self.h1_sq, self._a2_pad_dev, jnp.asarray(q1_all),
-            jnp.asarray(q2_all), self._batch_index(nq))
+            q2_dev, self._batch_index(nq))
         msg: list[np.ndarray] = [np.asarray(msg0)]
         a_2_np, h_2_np = np.asarray(a_2_all), np.asarray(h_2_all)
         for k in range(nq):

@@ -91,3 +91,46 @@ def test_rejects_non_checklist_config():
     # p=991 -> 9 bits packing, not the byte-element case
     with pytest.raises(ValueError):
         ChecklistServerJax(100, params, np.zeros(13, dtype=np.uint8))
+
+
+def test_sharded_checklist_answer_bit_exact(setup_pair):
+    """Row-sharded ChecklistServerJax over a 4-device "db" mesh: hint and
+    answers byte-identical to the single-device server (the reference
+    chunk-and-sum pattern, bin/e2e.rs:60-106, as exact mod-2^32 psum over
+    the mesh). l=13 over 4 shards pads to 24 rows — the pad-row masking in
+    setup and the zero-contribution pad rows in the answer are both
+    load-bearing here."""
+    (params, info, num_entries, bit_bytes, shared, host_db,
+     server_state, hint, srv, hint_dev) = setup_pair
+
+    from sdk_tpu.ops.shard import make_mesh
+
+    mesh = make_mesh(4)
+    srv_sh = ChecklistServerJax(num_entries, params, bit_bytes, mesh=mesh)
+    hint_sh = srv_sh.setup(shared)
+    np.testing.assert_array_equal(hint_sh[0], hint_dev[0])
+    # squished H1 agrees on the real (unpadded) packed columns
+    l3 = -(-params.l // 3)
+    np.testing.assert_array_equal(
+        np.asarray(srv_sh.h1_sq)[:, :l3], np.asarray(srv.h1_sq)[:, :l3])
+
+    rng = np.random.default_rng(23)
+    all_bits = np.unpackbits(bit_bytes, bitorder="little")[:num_entries]
+    targets = [int(np.flatnonzero(all_bits == 1)[1]),
+               int(np.flatnonzero(all_bits == 0)[1])]
+    queries, states = [], []
+    for t in targets:
+        st, msg = scheme.query(t, shared, params, info, rng)
+        states.append(st)
+        queries.append(msg)
+
+    single_msg = srv.answer(queries)
+    sharded_msg = srv_sh.answer(queries)
+    assert len(sharded_msg) == len(single_msg)
+    for s, d in zip(single_msg, sharded_msg):
+        np.testing.assert_array_equal(d, s)
+
+    for b, t in enumerate(targets):
+        got = scheme.recover(t, b, hint_sh, queries[b], sharded_msg, shared,
+                             states[b], params, info)
+        assert got == int(all_bits[t]), (b, t)
