@@ -38,8 +38,12 @@ class DoublePirKvServer:
     """
 
     def __init__(self, log2m: int, params: Params | None = None,
-                 matmul_u32_fn=None, use_device: bool = False):
+                 matmul_u32_fn=None, use_device: bool = False, mesh=None):
         self.log2m = log2m
+        # mesh with a "db" axis: row-shard the checklist DB over the
+        # device mesh (ChecklistServerJax mesh mode) — checklist DBs
+        # larger than one chip's HBM serve from N chips
+        self.mesh = mesh
         self.num_entries = 1 << log2m
         self.params = params or pick_params(self.num_entries, 1, SEC_PARAM,
                                             LOGQ, lower_bound_m=1)
@@ -50,7 +54,7 @@ class DoublePirKvServer:
         self.lock = threading.RLock()
         self._matmul = matmul_u32_fn
         self._kernels = None
-        if use_device:
+        if use_device or mesh is not None:
             from ..doublepir.jax_kernels import (device_kernels,
                                                  matmul_u32_device)
 
@@ -98,7 +102,7 @@ class DoublePirKvServer:
                 from ..doublepir.server_jax import ChecklistServerJax
 
                 eng = ChecklistServerJax(self.num_entries, self.params,
-                                         self.bit_bytes)
+                                         self.bit_bytes, mesh=self.mesh)
                 if self.shared_state is None:
                     self.shared_state = scheme.init(eng.info, self.params)
                 self.hint = eng.setup(self.shared_state)
@@ -251,3 +255,51 @@ def serve_doublepir(srv: DoublePirKvServer, port: int, block: bool = True):
     else:
         _t.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd
+
+
+def main(argv: list[str]) -> None:
+    """python -m sdk_tpu.server.doublepir_server <port> <log2m>
+           [--device] [--mesh dp=1,db=N] [--keys-file path]
+
+    Serve a checklist (private membership) bucket over HTTP. --device puts
+    the DB + hint + answer matmuls on the accelerator (ChecklistServerJax);
+    --mesh additionally row-shards the DB over a device mesh (checklist
+    DBs larger than one chip's HBM; answers bit-identical to single-chip)."""
+    import sys
+
+    args, use_device, mesh_spec, keys_file = [], False, "", None
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--device":
+            use_device = True
+        elif argv[i] == "--mesh":
+            mesh_spec = argv[i + 1]
+            i += 1
+        elif argv[i] == "--keys-file":
+            keys_file = argv[i + 1]
+            i += 1
+        else:
+            args.append(argv[i])
+        i += 1
+    if len(args) != 2:
+        print(main.__doc__, file=sys.stderr)
+        raise SystemExit(2)
+    port, log2m = int(args[0]), int(args[1])
+    mesh = None
+    if mesh_spec:
+        from ..ops.shard import mesh_from_spec
+
+        mesh = mesh_from_spec(mesh_spec)
+        print(f"Serving over mesh {dict(mesh.shape)}", flush=True)
+    srv = DoublePirKvServer(log2m, use_device=use_device or mesh is not None,
+                            mesh=mesh)
+    if keys_file:
+        with open(keys_file) as f:
+            srv.add_keys([ln.strip() for ln in f if ln.strip()])
+    serve_doublepir(srv, port)
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(sys.argv[1:])

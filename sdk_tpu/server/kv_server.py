@@ -349,7 +349,9 @@ class SpiralKvServer:
 
             with open(os.path.join(path, "state.json")) as f:
                 state = json.load(f)
-            db = np.load(os.path.join(path, "db_tensor.npy"))
+            # memmap: planes stream file -> device one at a time instead of
+            # materializing the whole multi-GB index in host RAM first
+            db = np.load(os.path.join(path, "db_tensor.npy"), mmap_mode="r")
             crt = self.params.crt_count
             if db.ndim == 6 and db.dtype == np.uint32:
                 # legacy pre-limb checkpoint: (inst, trials, crt, z, i, j)

@@ -101,3 +101,19 @@ def test_production_scale_checklist_on_tpu():
     assert srv._engine is not None
     assert srv._engine.db.nbytes == (1 << 30)   # 1 B per element on device
     _serve_and_check(srv, present, ["safe-password", "also-safe"])
+
+
+def test_sharded_engine_checklist_e2e():
+    """Checklist service with the DB row-sharded over a 4-device mesh,
+    full HTTP stack: hint + answers must serve transparently (the client
+    can't tell a sharded server from a single-device one)."""
+    from sdk_tpu.ops.shard import make_mesh
+    from sdk_tpu.server.doublepir_server import DoublePirKvServer
+
+    params = Params(n=1024, sigma=6.4, l=368, m=368, logq=32, p=464)
+    srv = DoublePirKvServer(log2m=20, params=params, mesh=make_mesh(4))
+    present = _detectable_keys("shpw", params, 20, 2)
+    srv.add_keys(present + [f"shpw-extra-{i}" for i in range(40)])
+    srv._rebuild()
+    assert srv._engine is not None and srv._engine.mesh is not None
+    _serve_and_check(srv, present, ["not-in-the-set", "shpw-missing"])
