@@ -13,8 +13,9 @@ def test_psum_mod_exact():
     import functools
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
+
+    from sdk_tpu.ops.shard import shard_map
 
     q = 268369921
     mesh = make_mesh(8, dp=1)
