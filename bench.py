@@ -300,9 +300,19 @@ def main():
     # compiles cheap.
     import subprocess
 
+    # Per-metric wall-clock bound: a dead device tunnel hangs jax backend
+    # init forever, and one stuck metric must not eat the whole bench run.
+    # 40 min covers the slowest cold path (DoublePIR hint setup uploads
+    # ~760 MB through the tunnel: 103-250 s, plus cold compiles).
     for fn in benches:
-        rc = subprocess.run(
-            [sys.executable, __file__, fn.__name__, "--inproc"]).returncode
+        try:
+            rc = subprocess.run(
+                [sys.executable, __file__, fn.__name__, "--inproc"],
+                timeout=2400).returncode
+        except subprocess.TimeoutExpired:
+            print(f"bench {fn.__name__} timed out after 2400s "
+                  "(device tunnel down?)", file=sys.stderr, flush=True)
+            continue
         if rc != 0:
             print(f"bench {fn.__name__} subprocess rc={rc}",
                   file=sys.stderr, flush=True)

@@ -284,6 +284,26 @@ class SpiralServerJax:
         f_hi, f_lo = self._scan_fold_impl(db, q_arr, v_folding)
         return self._pack_encode_impl(f_hi, f_lo, v_packing)
 
+    def _dispatch_fused(self, pp_dev: dict, query: Query):
+        """Async-dispatch the fused single-query program (sparse-expansion
+        variant when a populated set is installed); returns the device
+        words array without blocking."""
+        ct_hi, ct_lo = _split_pair_np(query.ct)
+        if self._splan is not None:
+            if not hasattr(self, "_jit_full_sparse"):
+                self._jit_full_sparse = jax.jit(self._full_sparse_impl)
+            return self._jit_full_sparse(
+                self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
+                pp_dev["v_exp_left"], pp_dev["v_exp_right"],
+                pp_dev["v_conversion"], pp_dev["v_packing"],
+                *self._splan_dev)
+        if not hasattr(self, "_jit_full"):
+            self._jit_full = jax.jit(self._full_impl)
+        return self._jit_full(
+            self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
+            pp_dev["v_exp_left"], pp_dev["v_exp_right"],
+            pp_dev["v_conversion"], pp_dev["v_packing"])
+
     def process_query(self, pp: PublicParameters | dict, query: Query) -> bytes:
         from ..telemetry import GLOBAL_TIMERS as T
         from ..debug_hooks import check_folded_ct, client_test_active
@@ -295,22 +315,7 @@ class SpiralServerJax:
             # fused single-dispatch path (sparse-expansion variant when a
             # populated set is installed)
             with T.stage("query_fused"):
-                ct_hi, ct_lo = _split_pair_np(query.ct)
-                if self._splan is not None:
-                    if not hasattr(self, "_jit_full_sparse"):
-                        self._jit_full_sparse = jax.jit(self._full_sparse_impl)
-                    words = self._jit_full_sparse(
-                        self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
-                        pp_dev["v_exp_left"], pp_dev["v_exp_right"],
-                        pp_dev["v_conversion"], pp_dev["v_packing"],
-                        *self._splan_dev)
-                else:
-                    if not hasattr(self, "_jit_full"):
-                        self._jit_full = jax.jit(self._full_impl)
-                    words = self._jit_full(
-                        self.db, jnp.asarray(ct_hi), jnp.asarray(ct_lo),
-                        pp_dev["v_exp_left"], pp_dev["v_exp_right"],
-                        pp_dev["v_conversion"], pp_dev["v_packing"])
+                words = self._dispatch_fused(pp_dev, query)
                 return self._encode_plan.to_bytes(words)
         with T.stage("expand"):
             q_arr, v_folding = self.query_to_device(pp_dev, query)
@@ -362,10 +367,35 @@ class SpiralServerJax:
 
     def process_queries_batched(self, requests: list) -> list[bytes]:
         """requests: list of (pp_dev_or_pp, query). One fused DB scan."""
+        return self.dispatch_queries_batched(requests)()
+
+    def dispatch_queries_batched(self, requests: list):
+        """Two-phase batched serving: async-dispatch everything on device
+        and return a zero-arg fetch function that blocks on the transfers
+        and returns the response bytes.
+
+        Dispatch must run while holding the server's write lock — a
+        concurrent flush DONATES the DB buffer (kv/ingest._jit_scatter),
+        and a dispatch racing that donation would read a deleted array.
+        The fetch may run OUTSIDE the lock: JAX arrays are immutable and
+        the runtime keeps donated buffers alive for in-flight programs, so
+        writes proceed while the device crunches the batch (the win over
+        the reference's RwLock, which pins writers out for the whole
+        query; lib/server/src/bin/server.rs read path)."""
+        from ..debug_hooks import client_test_active
+
         params = self.params
         if len(requests) == 1:
             pp, query = requests[0]
-            return [self.process_query(pp, query)]
+            if (params.expand_queries and self._sharded is None
+                    and not client_test_active()):
+                pp_dev = pp if isinstance(pp, dict) \
+                    else pp_to_device(params, pp)
+                words = self._dispatch_fused(pp_dev, query)
+                return lambda: [self._encode_plan.to_bytes(words)]
+            # staged / sharded / CLIENT_TEST paths block internally
+            res = [self.process_query(pp, query)]
+            return lambda: res
         q_arrs, v_folds, pps = [], [], []
         for pp, query in requests:
             pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
@@ -383,12 +413,10 @@ class SpiralServerJax:
                                            jnp.stack(v_folds))
         if not hasattr(self, "_jit_pack_encode"):
             self._jit_pack_encode = jax.jit(self._pack_encode_impl)
-        out = []
-        for i, pp_dev in enumerate(pps):
-            words = self._jit_pack_encode(f_hi[i], f_lo[i],
-                                          pp_dev["v_packing"])
-            out.append(self._encode_plan.to_bytes(words))
-        return out
+        words_list = [self._jit_pack_encode(f_hi[i], f_lo[i],
+                                            pp_dev["v_packing"])
+                      for i, pp_dev in enumerate(pps)]
+        return lambda: [self._encode_plan.to_bytes(w) for w in words_list]
 
 
 def encode_response(params: Params, packed: np.ndarray) -> bytes:

@@ -78,6 +78,11 @@ class ReadCoalescer:
             self.stats["max_batch"] = max(self.stats["max_batch"], len(batch))
         srv = self.srv
         try:
+            # dispatch under the lock (a concurrent flush donates the DB
+            # buffer — dispatch must not race it), but BLOCK on the device
+            # transfers outside it so writes and other reads proceed while
+            # the device crunches the batch
+            fetch = None
             with srv.lock:
                 srv._flush()
                 parsed, slots = [], []
@@ -91,11 +96,18 @@ class ReadCoalescer:
                     parsed.extend(reqs)
                 if parsed:
                     try:
-                        results = srv.engine.process_queries_batched(parsed)
-                        for e, off, n in slots:
-                            e["res"] = results[off : off + n]
+                        fetch = srv.engine.dispatch_queries_batched(parsed)
                     except Exception as ex:  # noqa: BLE001
                         for e, _, _ in slots:
+                            e["exc"] = ex
+            if fetch is not None:
+                try:
+                    results = fetch()
+                    for e, off, n in slots:
+                        e["res"] = results[off : off + n]
+                except Exception as ex:  # noqa: BLE001
+                    for e, _, _ in slots:
+                        if e["exc"] is None:
                             e["exc"] = ex
         except BaseException as ex:  # never leave followers hanging
             for e in batch:

@@ -203,11 +203,15 @@ class SpiralKvServer:
             return self.engine.process_query(pp_dev, query)
 
     def private_read_blobs(self, blobs: list[bytes]) -> list[bytes]:
-        """Raw request blobs -> response bytes; one fused DB scan."""
+        """Raw request blobs -> response bytes; one fused DB scan.
+        Dispatch runs under the lock (a concurrent flush donates the DB
+        buffer); the blocking device fetch runs outside it so writes
+        proceed while the device crunches."""
         with self.lock:
             self._flush()
             reqs = [self._parse_request(b) for b in blobs]
-            return self.engine.process_queries_batched(reqs)
+            fetch = self.engine.dispatch_queries_batched(reqs)
+        return fetch()
 
     def private_read(self, body: bytes) -> bytes:
         """JSON list of base64 queries -> JSON list of base64 responses
