@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import gc
 import json
+import os
 import sys
 import time
 import traceback
@@ -34,6 +35,23 @@ import numpy as np
 NUM_QUERIES = 16
 SPIRAL_BASELINE_GBPS = 1.0   # Spiral paper ~1 GB/s/core CPU design point
 DOUBLEPIR_BASELINE_GBPS = 7.4
+
+# SDK_TPU_BENCH_TINY=1 swaps every metric to a seconds-scale shape so the
+# whole bench SCRIPT (operand generation, serving paths, JSON emission) is
+# executable as a CPU test — the driver-run artifact must not drift against
+# the library API between rounds. Numbers produced in tiny mode are
+# meaningless; only the code path is under test.
+TINY = bool(os.environ.get("SDK_TPU_BENCH_TINY"))
+
+SPIRAL_SCAN_CFG = (
+    '{"n": 2, "nu_1": 9, "nu_2": 6, "p": 256, "q2_bits": 20, "t_gsw": 8,'
+    ' "t_conv": 4, "t_exp_left": 8, "t_exp_right": 56, "instances": 1,'
+    ' "db_item_size": 8192}')
+if TINY:
+    SPIRAL_SCAN_CFG = (
+        '{"n": 2, "nu_1": 4, "nu_2": 2, "p": 256, "q2_bits": 20, "t_gsw": 8,'
+        ' "t_conv": 4, "t_exp_left": 8, "t_exp_right": 8, "instances": 1,'
+        ' "db_item_size": 8192}')
 
 
 def _emit(obj: dict) -> None:
@@ -87,10 +105,7 @@ def bench_scan_batch16() -> dict:
     from sdk_tpu.ops import spiral_jax as sj
 
     # Production-shaped scan: dim0=512, num_per=64 (nu_1=9, nu_2=6), n=2.
-    params = params_from_json(
-        '{"n": 2, "nu_1": 9, "nu_2": 6, "p": 256, "q2_bits": 20, "t_gsw": 8,'
-        ' "t_conv": 4, "t_exp_left": 8, "t_exp_right": 56, "instances": 1,'
-        ' "db_item_size": 8192}')
+    params = params_from_json(SPIRAL_SCAN_CFG)
     db_dev, q_dev, db_bytes = _scan_operands(params, 2 * NUM_QUERIES)
 
     @jax.jit
@@ -125,10 +140,7 @@ def bench_scan_single_device() -> dict:
     from sdk_tpu.params import params_from_json
     from sdk_tpu.ops import spiral_jax as sj
 
-    params = params_from_json(
-        '{"n": 2, "nu_1": 9, "nu_2": 6, "p": 256, "q2_bits": 20, "t_gsw": 8,'
-        ' "t_conv": 4, "t_exp_left": 8, "t_exp_right": 56, "instances": 1,'
-        ' "db_item_size": 8192}')
+    params = params_from_json(SPIRAL_SCAN_CFG)
     db_dev, q_dev, db_bytes = _scan_operands(params, 2)
 
     @functools.partial(jax.jit, static_argnums=2)
@@ -148,7 +160,7 @@ def bench_scan_single_device() -> dict:
         return (time.perf_counter() - t0) / iters
 
     t1, t9 = timed(1), timed(9)
-    ms = (t9 - t1) / 8 * 1e3
+    ms = max((t9 - t1) / 8 * 1e3, 1e-6)  # noise floor (tiny-mode CPU runs)
     eff_gbps = db_bytes / (ms / 1e3) / 1e9
     return {"metric": "spiral_scan_single_query_device_ms",
             "value": round(ms, 3), "unit": "ms",
@@ -170,8 +182,9 @@ def bench_doublepir_answer() -> dict:
     from sdk_tpu.doublepir.params import Params
     from sdk_tpu.doublepir.server_jax import ChecklistServerJax
 
-    params = Params.from_string("1024,6.4,92681,92683,32,464")
-    num_entries = 1 << 36
+    params = Params.from_string("64,6.4,13,17,32,464") if TINY \
+        else Params.from_string("1024,6.4,92681,92683,32,464")
+    num_entries = params.l * params.m * 8 if TINY else 1 << 36
     l, m = params.l, params.m
     nq = 8
 
@@ -194,11 +207,35 @@ def bench_doublepir_answer() -> dict:
                 rng.integers(0, 1 << 32, (lp3, 1), dtype=np.uint64)
                 .astype(np.uint32)] for _ in range(nq)]
 
+    # end-to-end (incl. ~6 MB query upload — tunnel-dominated; stderr only)
     srv.answer(queries)  # compile + warm
+    t0 = time.perf_counter()
+    srv.answer(queries)
+    print(f"doublepir answer incl query upload: "
+          f"{time.perf_counter() - t0:.3f}s", file=sys.stderr, flush=True)
+
+    # metric: device answer throughput with device-resident queries and a
+    # one-word fetch fence per dispatch (the scan benches' methodology —
+    # clients deliver queries over normal networking, not the 30 MB/s
+    # harness tunnel, so re-uploading them each iteration measures the
+    # tunnel, not the server)
+    q1_all = jnp.asarray(np.concatenate([q[0][:m] for q in queries], axis=1))
+    q2_np = np.concatenate([q[1] for q in queries], axis=1)
+    q2_all = jnp.asarray(q2_np)
+    bidx = srv._batch_index(nq)
+
+    @jax.jit
+    def answer_dev(db_, h1, a2p, q1, q2, b):
+        msg0, a_2, h_2 = srv._answer_fused(db_, h1, a2p, q1, q2, b)
+        return (msg0.sum(dtype=jnp.uint32) + a_2.sum(dtype=jnp.uint32)
+                + h_2.sum(dtype=jnp.uint32))
+
+    args = (srv.db, srv.h1_sq, srv._a2_pad_dev, q1_all, q2_all, bidx)
+    int(answer_dev(*args))  # compile + warm
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
-        srv.answer(queries)
+        int(answer_dev(*args))
     dt = (time.perf_counter() - t0) / iters
     db_bytes = l * m  # 1 byte per element on device
     gbps = db_bytes * nq / dt / 1e9
@@ -219,13 +256,17 @@ def bench_spiral_p50_1gib() -> dict:
     from sdk_tpu.rng import ChaCha20Rng
     from sdk_tpu.server.kv_server import SpiralKvServer
 
-    params = get_params_from_store(15, 32768)  # 2^15 x 32 KiB = 1 GiB
+    if TINY:
+        from sdk_tpu.params import get_fast_expansion_testing_params
+        params = get_fast_expansion_testing_params()
+    else:
+        params = get_params_from_store(15, 32768)  # 2^15 x 32 KiB = 1 GiB
     srv = SpiralKvServer(params)
     # the metric is "serve a FULL 1 GiB index": force the dense layout even
     # though only one row is planted (the O(populated) CompactDb default
     # would otherwise scan a few MB and flatter the number)
     srv.dense_migrate_fill = -1.0
-    value = bytes(range(256)) * 64  # 16 KiB payload
+    value = b"\x5a" * 64 if TINY else bytes(range(256)) * 64  # 16 KiB payload
     srv.write_kv(json.dumps(
         {"bench-key": base64.b64encode(value).decode()}).encode())
 
@@ -282,6 +323,12 @@ def main():
                    if any(a in f.__name__ for a in args)]
 
     if "--inproc" in sys.argv:
+        if os.environ.get("SDK_TPU_FORCE_CPU"):
+            # the axon TPU plugin overrides JAX_PLATFORMS env; force via
+            # config (used by the tiny-mode CPU test)
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
         _enable_jit_cache()
         for fn in benches:
             try:

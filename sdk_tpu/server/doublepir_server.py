@@ -19,7 +19,8 @@ from ..clients.bloom import bloom_hash
 from ..doublepir import scheme
 from ..doublepir.database import Db, DbInfo
 from ..doublepir.params import LOGQ, SEC_PARAM, Params, pick_params
-from ..doublepir.serializer import deserialize_states, serialize_state
+from ..doublepir.serializer import (deserialize_states, serialize_state,
+                                    serialize_states)
 
 BLOOM_K = 8
 HINT_CHUNK_BYTES = 4 * 2 ** 20   # hint served in cacheable 4 MiB chunks
@@ -163,6 +164,26 @@ class DoublePirKvServer:
                                      self.params, kernels=self._kernels)
             return serialize_state(resp)
 
+    def warmup(self) -> float:
+        """Pre-compile the serving path before traffic arrives: hint setup
+        (the expensive device matmuls) plus one synthetic single-query
+        answer through the real wire path (the interactive checkInclusion
+        pattern; the answer program jits per batch size). Returns
+        elapsed seconds."""
+        import time as _time
+
+        t0 = _time.monotonic()
+        rng = np.random.default_rng(0)
+        lp3 = -(-self.params.l // 3) * 3
+        mp3 = -(-self.params.m // 3) * 3
+        q = [rng.integers(0, 1 << 32, (mp3, 1), dtype=np.uint64)
+             .astype(np.uint32),
+             rng.integers(0, 1 << 32, (lp3, 1), dtype=np.uint64)
+             .astype(np.uint32)]
+        self.get_hint()
+        self.answer(serialize_states([q]))
+        return _time.monotonic() - t0
+
     def meta(self) -> dict:
         with self.lock:
             self._rebuild()
@@ -259,7 +280,7 @@ def serve_doublepir(srv: DoublePirKvServer, port: int, block: bool = True):
 
 def main(argv: list[str]) -> None:
     """python -m sdk_tpu.server.doublepir_server <port> <log2m>
-           [--device] [--mesh dp=1,db=N] [--keys-file path]
+           [--device] [--mesh dp=1,db=N] [--keys-file path] [--warmup]
 
     Serve a checklist (private membership) bucket over HTTP. --device puts
     the DB + hint + answer matmuls on the accelerator (ChecklistServerJax);
@@ -268,6 +289,7 @@ def main(argv: list[str]) -> None:
     import sys
 
     args, use_device, mesh_spec, keys_file = [], False, "", None
+    warmup = False
     i = 0
     while i < len(argv):
         if argv[i] == "--device":
@@ -278,6 +300,8 @@ def main(argv: list[str]) -> None:
         elif argv[i] == "--keys-file":
             keys_file = argv[i + 1]
             i += 1
+        elif argv[i] == "--warmup":
+            warmup = True
         else:
             args.append(argv[i])
         i += 1
@@ -296,6 +320,9 @@ def main(argv: list[str]) -> None:
     if keys_file:
         with open(keys_file) as f:
             srv.add_keys([ln.strip() for ln in f if ln.strip()])
+    if warmup:
+        dt = srv.warmup()
+        print(f"Warmup complete ({dt:.1f}s)", flush=True)
     serve_doublepir(srv, port)
 
 

@@ -17,6 +17,13 @@ Serving config (env or CLI):
     SDK_TPU_BATCH_WINDOW_MS / --batch-window-ms N
         coalesce /private-read requests arriving within N ms into one
         batched DB scan (cross-request batching; default 0 = off)
+    SDK_TPU_WARMUP / --warmup
+        run one synthetic protocol round at startup so the first real
+        query doesn't pay the XLA compile; compiles the program for the
+        CURRENT index state, so pair it with --restore
+    SDK_TPU_RESTORE / --restore DIR
+        load a checkpointed index (SpiralKvServer.save_to_dir) before
+        serving
 
 Usage: python -m sdk_tpu.server.http <port> [params.json | num_items_log2 item_size]
 """
@@ -405,6 +412,8 @@ def main(argv: list[str]):
     # pull --mesh / --batch-window-ms out of argv (env vars as fallback)
     mesh_spec = os.environ.get("SDK_TPU_MESH", "")
     window_ms = float(os.environ.get("SDK_TPU_BATCH_WINDOW_MS", "0"))
+    warmup = bool(os.environ.get("SDK_TPU_WARMUP"))
+    restore_dir = os.environ.get("SDK_TPU_RESTORE", "")
     args = []
     i = 1
     while i < len(argv):
@@ -413,6 +422,12 @@ def main(argv: list[str]):
             i += 2
         elif argv[i] == "--batch-window-ms":
             window_ms = float(argv[i + 1])
+            i += 2
+        elif argv[i] == "--warmup":
+            warmup = True
+            i += 1
+        elif argv[i] == "--restore":
+            restore_dir = argv[i + 1]
             i += 2
         else:
             args.append(argv[i])
@@ -444,6 +459,14 @@ def main(argv: list[str]):
         mesh = mesh_from_spec(mesh_spec)
         print(f"Serving over mesh {dict(mesh.shape)}", flush=True)
     srv = SpiralKvServer(params, params_json, mesh=mesh)
+    if restore_dir:
+        srv.restore_from_dir(restore_dir)
+        print(f"Restored index from {restore_dir}", flush=True)
+    if warmup:
+        # compile the serving path before accepting traffic so the first
+        # real query doesn't pay the XLA compile
+        dt = srv.warmup()
+        print(f"Warmup complete ({dt:.1f}s)", flush=True)
     serve(srv, port, batch_window_ms=window_ms)
 
 

@@ -213,6 +213,34 @@ class SpiralKvServer:
             fetch = self.engine.dispatch_queries_batched(reqs)
         return fetch()
 
+    def warmup(self) -> float:
+        """Pre-compile the hot serving path before traffic arrives: one
+        synthetic protocol round (throwaway client keys -> setup -> query
+        for row 0) through the real read path, session discarded after.
+        A cold first query otherwise pays the full XLA compile (tens of
+        seconds on TPU, minutes on CPU). Compiles the program for the
+        CURRENT index state (dense vs sparse-expansion vs compact layouts
+        jit separately), so call it after restore_from_dir or the initial
+        writes. Returns elapsed seconds."""
+        import time as _time
+
+        from ..client import Client
+
+        t0 = _time.monotonic()
+        client = Client(self.params)
+        pp = client.generate_keys()
+        qbytes = client.generate_query(0).serialize(self.params)
+        if self.params.expand_queries:
+            uid = self.setup_raw(pp.serialize(self.params))
+            try:
+                self.private_read_blobs([uid.encode() + qbytes])
+            finally:
+                with self.lock:
+                    self.pub_params.pop(uid, None)
+        else:
+            self.private_read_blobs([pp.serialize(self.params) + qbytes])
+        return _time.monotonic() - t0
+
     def private_read(self, body: bytes) -> bytes:
         """JSON list of base64 queries -> JSON list of base64 responses
         (bin/server.rs:143-163). Multi-query requests share one DB scan

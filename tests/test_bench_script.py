@@ -1,0 +1,35 @@
+"""The driver runs bench.py at the end of every round; if the script drifts
+against the library API the round's metrics are silently lost. This test
+executes the WHOLE script at tiny shapes (SDK_TPU_BENCH_TINY=1) on the CPU
+backend and asserts one well-formed JSON line per BASELINE target."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXPECTED = {
+    "spiral_scan_throughput_batch16",
+    "spiral_scan_single_query_device_ms",
+    "doublepir_answer_throughput",
+    "spiral_p50_1gib",
+}
+
+
+def test_bench_tiny_emits_every_metric():
+    env = dict(os.environ)
+    env["SDK_TPU_BENCH_TINY"] = "1"
+    env["SDK_TPU_FORCE_CPU"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--inproc"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3000)
+    lines = [json.loads(ln) for ln in out.stdout.splitlines()
+             if ln.strip().startswith("{")]
+    got = {ln["metric"] for ln in lines}
+    assert got == EXPECTED, (got, out.stderr[-2000:])
+    for ln in lines:
+        assert set(ln) == {"metric", "value", "unit", "vs_baseline"}, ln
+        assert isinstance(ln["value"], (int, float)), ln

@@ -26,7 +26,8 @@ def checklist_server():
     # 2^16-bit bloom DB: small but realistic shape
     srv = DoublePirKvServer(log2m=16)
     srv.add_keys([f"breached-password-{i}" for i in range(50)])
-    port = free_port()
+    assert srv.warmup() > 0   # pre-compile; the tests below assert that
+    port = free_port()        # serving-after-warmup stays correct
     httpd = serve_doublepir(srv, port, block=False)
     yield port
     httpd.shutdown()

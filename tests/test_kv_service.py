@@ -153,3 +153,23 @@ def test_http_e2e_direct_upload(live_server_direct):
     assert not bucket.params.expand_queries
     bucket.write({"du-key": b"direct upload works"})
     assert bucket.private_read(["du-key"]) == [b"direct upload works"]
+
+
+def test_warmup_precompiles_serving_path():
+    """srv.warmup() runs one synthetic protocol round through the real read
+    path (same jitted program as live traffic — writes landed first so the
+    sparse/dense variant matches serving), leaves no session behind, and
+    the bucket serves correctly afterwards."""
+    import base64
+
+    from sdk_tpu.server.kv_server import SpiralKvServer
+    from tests.util_protocol import read_via_protocol
+
+    params = get_fast_expansion_testing_params()
+    srv = SpiralKvServer(params, json.dumps(params_to_json_obj(params)))
+    srv.write_kv(json.dumps(
+        {"wk": base64.b64encode(b"warm value").decode()}).encode())
+    dt = srv.warmup()
+    assert dt > 0
+    assert not srv.pub_params          # throwaway session removed
+    assert read_via_protocol(srv, "wk") == b"warm value"
