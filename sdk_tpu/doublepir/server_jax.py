@@ -188,6 +188,10 @@ class ChecklistServerJax:
         else:
             self.h1_sq, h2 = self._setup_sharded(a_1, a_2)
         self.h1_sq.block_until_ready()
+        self._install_a2(a_2)
+        return [np.asarray(h2)]
+
+    def _install_a2(self, a_2: np.ndarray) -> None:
         a2c = a_2
         if a2c.shape[0] % SQUISH_DELTA != 0:
             padr = SQUISH_DELTA - (a2c.shape[0] % SQUISH_DELTA)
@@ -198,7 +202,22 @@ class ChecklistServerJax:
         # in host numpy at the production l
         self._a2_pad_dev = self._shard_rows(a2c) if self.mesh is not None \
             else jnp.asarray(a2c)
-        return [np.asarray(h2)]
+
+    def install_hint(self, h1_sq: np.ndarray, a_2: np.ndarray) -> None:
+        """Restore path: install a previously computed squished H1 instead
+        of re-running the setup matmuls (the shared matrices re-derive
+        deterministically from the fixed public AES seeds, so only the
+        computed hint needs persisting — the reference preprocess->serve
+        flow, lib/doublepir/src/bin/preprocess.rs)."""
+        import jax.sharding as jsh
+
+        if self.mesh is None:
+            self.h1_sq = jnp.asarray(np.asarray(h1_sq, dtype=np.uint32))
+        else:
+            self.h1_sq = jax.device_put(
+                jnp.asarray(np.asarray(h1_sq, dtype=np.uint32)),
+                jsh.NamedSharding(self.mesh, jsh.PartitionSpec(None, "db")))
+        self._install_a2(a_2)
 
     def _setup_sharded(self, a_1: np.ndarray, a_2: np.ndarray):
         """shard_map setup: H1, its digit planes and the squished H1 are

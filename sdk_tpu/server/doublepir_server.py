@@ -164,6 +164,84 @@ class DoublePirKvServer:
                                      self.params, kernels=self._kernels)
             return serialize_state(resp)
 
+    def save_to_dir(self, path: str) -> None:
+        """Checkpoint the checklist: bloom bits, key set, the serialized
+        client hint, and (device engine) the squished H1 — restore skips
+        the expensive hint-setup matmuls. The reference preprocess->serve
+        flow (lib/doublepir/src/bin/preprocess.rs writes the server state
+        files the server bin loads)."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        with self.lock:
+            self._rebuild()
+            np.save(os.path.join(path, "bit_bytes.npy"), self.bit_bytes)
+            with open(os.path.join(path, "keys.json"), "w") as f:
+                json.dump(sorted(self.keys), f)
+            assert self._hint_bytes is not None
+            with open(os.path.join(path, "hint.bin"), "wb") as f:
+                f.write(self._hint_bytes)
+            meta = {"log2m": self.log2m, "version": self.version,
+                    "engine": "device" if self._engine is not None
+                    else "host"}
+            if self._engine is not None:
+                np.save(os.path.join(path, "h1_sq.npy"),
+                        np.asarray(self._engine.h1_sq))
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+
+    def restore_from_dir(self, path: str) -> None:
+        """Load a checkpoint. The bloom bits are the source of truth: if
+        the saved hint artifacts don't match this server's engine/mesh
+        configuration, the hint is recomputed from the bits on first use
+        (never serves stale or mis-shaped state)."""
+        import os
+
+        from ..doublepir.serializer import deserialize_state
+
+        with self.lock:
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            if meta["log2m"] != self.log2m:
+                raise ValueError(
+                    f"checkpoint log2m={meta['log2m']} != {self.log2m}")
+            self.bit_bytes = np.load(os.path.join(path, "bit_bytes.npy"))
+            with open(os.path.join(path, "keys.json")) as f:
+                self.keys = set(json.load(f))
+            self.version = meta["version"]
+            self._dirty = True      # default: rebuild from bits on demand
+            self._engine = None
+            self.db = None
+            h1_path = os.path.join(path, "h1_sq.npy")
+            if (self._kernels is None or meta["engine"] != "device"
+                    or not os.path.exists(h1_path)):
+                return
+            try:
+                from ..doublepir.server_jax import ChecklistServerJax
+
+                eng = ChecklistServerJax(self.num_entries, self.params,
+                                         self.bit_bytes, mesh=self.mesh)
+                if self.shared_state is None:
+                    self.shared_state = scheme.init(eng.info, self.params)
+                h1 = np.load(h1_path)
+                cols = -(-self.params.l // 3) if self.mesh is None \
+                    else eng.l_pad // 3
+                want = (self.params.n * self.params.delta(), cols)
+                if h1.shape != want:
+                    raise ValueError(f"h1 shape {h1.shape} != {want}")
+                eng.install_hint(h1, self.shared_state[1])
+                with open(os.path.join(path, "hint.bin"), "rb") as f:
+                    hint_bytes = f.read()
+                self.hint = deserialize_state(hint_bytes)[0]
+                self._hint_bytes = hint_bytes
+                self._engine = eng
+                self.db_info = eng.info
+                self._dirty = False
+            except (ValueError, AssertionError):
+                # shape/config mismatch: keep the bits, rebuild on demand
+                self._engine = None
+                self._dirty = True
+
     def warmup(self) -> float:
         """Pre-compile the serving path before traffic arrives: hint setup
         (the expensive device matmuls) plus one synthetic single-query
@@ -281,6 +359,7 @@ def serve_doublepir(srv: DoublePirKvServer, port: int, block: bool = True):
 def main(argv: list[str]) -> None:
     """python -m sdk_tpu.server.doublepir_server <port> <log2m>
            [--device] [--mesh dp=1,db=N] [--keys-file path] [--warmup]
+           [--restore DIR] [--save DIR]
 
     Serve a checklist (private membership) bucket over HTTP. --device puts
     the DB + hint + answer matmuls on the accelerator (ChecklistServerJax);
@@ -289,7 +368,7 @@ def main(argv: list[str]) -> None:
     import sys
 
     args, use_device, mesh_spec, keys_file = [], False, "", None
-    warmup = False
+    warmup, restore_dir, save_dir = False, None, None
     i = 0
     while i < len(argv):
         if argv[i] == "--device":
@@ -302,6 +381,12 @@ def main(argv: list[str]) -> None:
             i += 1
         elif argv[i] == "--warmup":
             warmup = True
+        elif argv[i] == "--restore":
+            restore_dir = argv[i + 1]
+            i += 1
+        elif argv[i] == "--save":
+            save_dir = argv[i + 1]
+            i += 1
         else:
             args.append(argv[i])
         i += 1
@@ -317,9 +402,15 @@ def main(argv: list[str]) -> None:
         print(f"Serving over mesh {dict(mesh.shape)}", flush=True)
     srv = DoublePirKvServer(log2m, use_device=use_device or mesh is not None,
                             mesh=mesh)
+    if restore_dir:
+        srv.restore_from_dir(restore_dir)
+        print(f"Restored checklist from {restore_dir}", flush=True)
     if keys_file:
         with open(keys_file) as f:
             srv.add_keys([ln.strip() for ln in f if ln.strip()])
+    if save_dir:
+        srv.save_to_dir(save_dir)
+        print(f"Saved checklist to {save_dir}", flush=True)
     if warmup:
         dt = srv.warmup()
         print(f"Warmup complete ({dt:.1f}s)", flush=True)

@@ -92,3 +92,53 @@ def test_async_bucket(server_proc):
 
     got = asyncio.run(run())
     assert got == [b"v3", b"v7"]
+
+
+def test_restore_warmup_cold_start(tmp_path):
+    """The production cold-start flow: checkpoint a populated bucket, spawn
+    a fresh server with --restore DIR --warmup, and read — the restored
+    index serves bit-exactly and warmup ran before the socket opened."""
+    import base64
+
+    from sdk_tpu.server.kv_server import SpiralKvServer
+
+    params = get_fast_expansion_testing_params()
+    cfg = json.dumps(params_to_json_obj(params))
+    src = SpiralKvServer(params, cfg)
+    src.write_kv(json.dumps(
+        {"ck": base64.b64encode(b"checkpointed value").decode()}).encode())
+    ckpt = tmp_path / "ckpt"
+    src.save_to_dir(str(ckpt))
+    params_file = tmp_path / "params.json"
+    params_file.write_text(cfg)
+
+    port = free_port()
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SDK_TPU_FORCE_CPU"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sdk_tpu.server.http", str(port),
+         str(params_file), "--restore", str(ckpt), "--warmup"],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    try:
+        saw_warmup = False
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "Warmup complete" in line:
+                saw_warmup = True
+            if "Listening on" in line:
+                break
+        else:
+            pytest.fail("restored server did not start")
+        assert saw_warmup, "--warmup did not run before the socket opened"
+
+        from sdk_tpu.clients.bucket_service import connect_local
+
+        bucket = connect_local(port)
+        assert bucket.private_read(["ck"]) == [b"checkpointed value"]
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=10)
