@@ -321,6 +321,73 @@ class DcnFrontend:
                 "num_rows_populated": sum(1 for r in self.rows if r),
                 "backends": self.urls}
 
+    # --- checkpoint: the front end owns the deployment's ONLY durable
+    # state (backends are stateless — resync pushes them everything) ---
+
+    def save_to_dir(self, path: str) -> None:
+        import bz2 as _bz2
+        import os
+        import struct
+
+        os.makedirs(path, exist_ok=True)
+        with self.lock:
+            blob = bytearray()
+            for row in self.rows:
+                blob += struct.pack("<I", len(row)) + row
+            with open(os.path.join(path, "rows.bin.bz2"), "wb") as f:
+                f.write(_bz2.compress(bytes(blob)))
+            meta = {
+                "version": self.version,
+                "name": self.name,
+                "num_rows": len(self.rows),
+                "key_storage_policy": self.key_storage_policy,
+                "stored_keys": sorted(self._stored_keys),
+                "setups": {u: base64.b64encode(r).decode()
+                           for u, r in self._setups.items()},
+            }
+            if self._key_bloom is not None:
+                with open(os.path.join(path, "bloom.bin"), "wb") as f:
+                    f.write(self._key_bloom.to_bytes())
+            with open(os.path.join(path, "meta.json"), "w") as f:
+                json.dump(meta, f)
+
+    def restore_from_dir(self, path: str) -> None:
+        """Load a checkpoint, then resync every backend from it — a full
+        cold restart of the deployment needs no client round trips."""
+        import bz2 as _bz2
+        import os
+        import struct
+
+        with self.lock:
+            with open(os.path.join(path, "meta.json")) as f:
+                meta = json.load(f)
+            if meta["num_rows"] != len(self.rows):
+                raise ValueError(
+                    f"checkpoint rows {meta['num_rows']} != config "
+                    f"{len(self.rows)}")
+            with open(os.path.join(path, "rows.bin.bz2"), "rb") as f:
+                blob = _bz2.decompress(f.read())
+            offs = 0
+            for i in range(len(self.rows)):
+                (n,) = struct.unpack_from("<I", blob, offs)
+                offs += 4
+                self.rows[i] = bytearray(blob[offs : offs + n])
+                offs += n
+            self.version = meta["version"]
+            self.name = meta["name"]
+            self.key_storage_policy = meta["key_storage_policy"]
+            self._stored_keys = set(meta["stored_keys"])
+            self._setups = {u: base64.b64decode(r)
+                            for u, r in meta["setups"].items()}
+            bloom_path = os.path.join(path, "bloom.bin")
+            if os.path.exists(bloom_path):
+                from ..clients.bloom import BloomFilter
+
+                with open(bloom_path, "rb") as f:
+                    self._key_bloom = BloomFilter.from_bytes(f.read())
+            for i in range(len(self.urls)):
+                self.resync(i)
+
 
 def make_handler(fe: DcnFrontend):
     """Same route surface as sdk_tpu.server.http (one shared handler
@@ -384,7 +451,15 @@ def main(argv: list[str]):
     with open(argv[2]) as fjson:
         params_json = fjson.read()
     params = params_from_json(params_json)
-    rest = argv[3:]
+    rest, restore_dir = [], None
+    i = 3
+    while i < len(argv):
+        if argv[i] == "--restore":
+            restore_dir = argv[i + 1]
+            i += 2
+        else:
+            rest.append(argv[i])
+            i += 1
     if rest and rest[0] == "--spawn":
         n = int(rest[1])
         urls, _procs = spawn_backends(params, n, port + 1)
@@ -392,6 +467,10 @@ def main(argv: list[str]):
     else:
         urls = rest
     fe = DcnFrontend(params, urls, params_json)
+    if restore_dir:
+        fe.restore_from_dir(restore_dir)
+        print(f"Restored KV plane from {restore_dir}; backends resynced",
+              flush=True)
     serve(fe, port)
 
 

@@ -211,3 +211,53 @@ def test_backend_params_and_segment_math():
     assert params.instances * seg * 8 == want_bits
     with pytest.raises(AssertionError):
         backend_params_obj(params, 3)
+
+
+def test_dcn_checkpoint_restore_cold_deployment(topology, tmp_path):
+    """Checkpoint the front end's KV plane, restore into a FRESH front end
+    wired to FRESH empty backends: restore resyncs the backends from the
+    checkpoint and a client retains its setup (same uuid) — the whole
+    deployment cold-restarts with no client round trips."""
+    params, fe, single, backends = topology
+    rng = np.random.default_rng(9)
+
+    kv = {f"ckpt-key-{i}": base64.b64encode(
+        rng.integers(0, 256, 300, dtype=np.uint8).tobytes()).decode()
+        for i in range(3)}
+    fe.write_kv(json.dumps(kv).encode())
+    client, pp_raw = _client(params)
+    uid = "99999999-8888-7777-6666-555555555555"
+    fe.setup_raw(pp_raw, uid)
+    fe.save_to_dir(str(tmp_path / "dcn-ckpt"))
+
+    # fresh empty backends + fresh front end
+    b_obj = backend_params_obj(params, 2)
+    httpds, urls = [], []
+    for _ in range(2):
+        srv = SpiralKvServer(params_from_json_obj(b_obj))
+        port = free_port()
+        httpds.append(http_serve(srv, port, block=False))
+        urls.append(f"http://localhost:{port}")
+    try:
+        fe2 = DcnFrontend(params, urls, PARAMS_JSON)
+        fe2.restore_from_dir(str(tmp_path / "dcn-ckpt"))
+        assert fe2.has_uuid(uid), "client setup must survive the restart"
+
+        from sdk_tpu.kv.key_value import extract_result, row_from_key
+
+        key = "ckpt-key-1"
+        row = row_from_key(params.num_items(), key)
+        query = client.generate_query(
+            row, noise_rng=ChaCha20Rng(b"\x3a" * 32), query_seed=b"\x3b" * 32)
+        blob = uid.encode() + query.serialize(params)
+        rd_body = json.dumps([base64.b64encode(blob).decode()]).encode()
+        resp = json.loads(fe2.private_read_body(rd_body))
+
+        import bz2 as _bz2
+
+        decoded = client.decode_response(base64.b64decode(resp[0]))
+        payload = _bz2.BZ2Decompressor().decompress(decoded)
+        assert extract_result(key, payload) == base64.b64decode(kv[key])
+    finally:
+        for h in httpds:
+            h.shutdown()
