@@ -24,6 +24,8 @@ Serving config (env or CLI):
     SDK_TPU_RESTORE / --restore DIR
         load a checkpointed index (SpiralKvServer.save_to_dir) before
         serving
+    SDK_TPU_SAVE_ON_EXIT / --save-on-exit DIR
+        checkpoint the index to DIR on SIGTERM/SIGINT, then exit
 
 Usage: python -m sdk_tpu.server.http <port> [params.json | num_items_log2 item_size]
 """
@@ -414,6 +416,7 @@ def main(argv: list[str]):
     window_ms = float(os.environ.get("SDK_TPU_BATCH_WINDOW_MS", "0"))
     warmup = bool(os.environ.get("SDK_TPU_WARMUP"))
     restore_dir = os.environ.get("SDK_TPU_RESTORE", "")
+    save_dir = os.environ.get("SDK_TPU_SAVE_ON_EXIT", "")
     args = []
     i = 1
     while i < len(argv):
@@ -428,6 +431,9 @@ def main(argv: list[str]):
             i += 1
         elif argv[i] == "--restore":
             restore_dir = argv[i + 1]
+            i += 2
+        elif argv[i] == "--save-on-exit":
+            save_dir = argv[i + 1]
             i += 2
         else:
             args.append(argv[i])
@@ -467,6 +473,17 @@ def main(argv: list[str]):
         # real query doesn't pay the XLA compile
         dt = srv.warmup()
         print(f"Warmup complete ({dt:.1f}s)", flush=True)
+    if save_dir:
+        import signal
+
+        def _save_and_exit(signum, frame):
+            with srv.lock:
+                srv.save_to_dir(save_dir)
+            print(f"Saved index to {save_dir}; exiting", flush=True)
+            raise SystemExit(0)
+
+        signal.signal(signal.SIGTERM, _save_and_exit)
+        signal.signal(signal.SIGINT, _save_and_exit)
     serve(srv, port, batch_window_ms=window_ms)
 
 

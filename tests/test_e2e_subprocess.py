@@ -142,3 +142,52 @@ def test_restore_warmup_cold_start(tmp_path):
     finally:
         proc.send_signal(signal.SIGTERM)
         proc.wait(timeout=10)
+
+
+def test_save_on_exit_sigterm(tmp_path):
+    """--save-on-exit checkpoints the index on SIGTERM; a new server
+    started with --restore serves the checkpointed key."""
+    import base64
+
+    params = get_fast_expansion_testing_params()
+    cfg = json.dumps(params_to_json_obj(params))
+    params_file = tmp_path / "params.json"
+    params_file.write_text(cfg)
+    ckpt = tmp_path / "ckpt"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SDK_TPU_FORCE_CPU"] = "1"
+    base = dict(stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, env=env,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    port = free_port()
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "sdk_tpu.server.http", str(port),
+         str(params_file), "--save-on-exit", str(ckpt)], **base)
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if "Listening on" in proc.stdout.readline():
+                break
+        else:
+            pytest.fail("server did not start")
+        from sdk_tpu.clients.bucket_service import connect_local
+
+        bucket = connect_local(port)
+        bucket.write({"durable": b"survives sigterm"})
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=300)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert (ckpt / "state.json").exists(), "SIGTERM did not checkpoint"
+
+    # restore in-process and read back
+    from sdk_tpu.server.kv_server import SpiralKvServer
+    from tests.util_protocol import read_via_protocol
+
+    srv = SpiralKvServer(params, cfg)
+    srv.restore_from_dir(str(ckpt))
+    assert read_via_protocol(srv, "durable") == b"survives sigterm"
