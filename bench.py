@@ -10,7 +10,10 @@ in order:
      a 2 GiB index (dispatch RTT excluded by k-loop differencing).
   3. doublepir_answer_throughput — online answer GB/s on a checklist-shaped
      packed DB, batch-8 (reference kernels.rs:118-178; paper ~7.4 GB/s/core).
-  4. spiral_p50_1gib — LAST (the headline): full-protocol p50 latency on
+  4. spiral_batch16_full_protocol — ms per 16-query full-protocol batch
+     (4 client sessions x 4 queries; one fused scan+fold, one vmapped
+     pack+encode dispatch — the coalescer's serving pattern).
+  5. spiral_p50_1gib — LAST (the headline): full-protocol p50 latency on
      the 1 GiB bucket (2^15 x 32 KiB, params-store (9,6) v1 config =
      reference bin/server.rs:191-203 scaled up one nu_2), decode verified
      bit-exact each iteration.
@@ -244,6 +247,69 @@ def bench_doublepir_answer() -> dict:
             "vs_baseline": round(gbps / DOUBLEPIR_BASELINE_GBPS, 2)}
 
 
+def bench_spiral_batch16_protocol() -> dict:
+    """Full-protocol BATCHED serving on the 1 GiB bucket config: 16
+    queries from 4 distinct client sessions ride one fused scan+fold and
+    one vmapped pack+encode dispatch (the coalescer's serving pattern).
+    Reports ms per 16-query batch; vs_baseline is effective GB/s of index
+    scanned per query over the Spiral paper's 1 GB/s/core point."""
+    import base64
+    import bz2
+
+    from sdk_tpu.client import Client
+    from sdk_tpu.kv.key_value import extract_result, row_from_key
+    from sdk_tpu.params_store import get_params_from_store
+    from sdk_tpu.rng import ChaCha20Rng
+    from sdk_tpu.server.kv_server import SpiralKvServer
+
+    if TINY:
+        from sdk_tpu.params import get_fast_expansion_testing_params
+        params = get_fast_expansion_testing_params()
+    else:
+        params = get_params_from_store(15, 32768)
+    srv = SpiralKvServer(params)
+    srv.dense_migrate_fill = -1.0
+    value = b"\x5a" * 64 if TINY else bytes(range(256)) * 64
+    srv.write_kv(json.dumps(
+        {"bench-key": base64.b64encode(value).decode()}).encode())
+    row = row_from_key(params.num_items(), "bench-key")
+
+    clients, blobs = [], []
+    for ci in range(4):
+        c = Client(params)
+        pp = c.generate_keys_from_seed(
+            bytes([0x50 + ci]) * 32,
+            noise_rng=ChaCha20Rng(bytes([0x60 + ci]) * 32),
+            pp_seed=bytes([0x70 + ci]) * 32)
+        uid = srv.setup_raw(pp.serialize(params))
+        clients.append(c)
+        for qi in range(4):
+            q = c.generate_query(
+                row, noise_rng=ChaCha20Rng(bytes([0x80 + 4 * ci + qi]) * 32),
+                query_seed=bytes([0xA0 + 4 * ci + qi]) * 32)
+            blobs.append(uid.encode() + q.serialize(params))
+
+    def batch_once() -> float:
+        t0 = time.perf_counter()
+        resps = srv.private_read_blobs(blobs)
+        dt = time.perf_counter() - t0
+        for i, resp in enumerate(resps):
+            decoded = clients[i // 4].decode_response(resp)
+            payload = bz2.BZ2Decompressor().decompress(decoded)
+            assert extract_result("bench-key", payload) == value, \
+                "decode mismatch — recall@1 violated"
+        return dt
+
+    batch_once()  # compile + warm
+    lat = sorted(batch_once() for _ in range(7))
+    p50 = lat[len(lat) // 2]
+    db_gb = params.num_items() * params.db_item_size / 1e9
+    return {"metric": "spiral_batch16_full_protocol",
+            "value": round(p50 * 1e3, 1), "unit": "ms/batch16",
+            "vs_baseline": round((db_gb * 16 / p50) / SPIRAL_BASELINE_GBPS,
+                                 2)}
+
+
 def bench_spiral_p50_1gib() -> dict:
     """Full-protocol serving p50 on the 1 GiB bucket config: the whole
     /private-read path (deserialize, expand, scan, fold, pack, on-device
@@ -314,7 +380,8 @@ def _enable_jit_cache() -> None:
 
 def main():
     benches = [bench_scan_batch16, bench_scan_single_device,
-               bench_doublepir_answer, bench_spiral_p50_1gib]
+               bench_doublepir_answer, bench_spiral_batch16_protocol,
+               bench_spiral_p50_1gib]
     # optional argv filter: any substring of a bench name, e.g.
     # `python bench.py p50 doublepir`
     args = [a for a in sys.argv[1:] if a != "--inproc"]

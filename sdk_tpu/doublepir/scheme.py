@@ -103,7 +103,10 @@ def query(i: int, shared: State, params: Params, info: DbInfo,
         secret2 = gaussian(params.n, 1, rng)    # error-distribution secret
         err2 = gaussian(lx, 1, rng)
         query2 = matmul_u32(a_2, secret2) + err2
-        query2[i1 + j, 0] += U32(params.ext_delta() & 0xFFFFFFFF)
+        # wrapping u32 add (mod 2^32 is the scheme's arithmetic); go via
+        # Python int so numpy doesn't warn on the intended overflow
+        query2[i1 + j, 0] = U32(
+            (int(query2[i1 + j, 0]) + params.ext_delta()) & 0xFFFFFFFF)
         if lx % sq != 0:
             query2 = np.vstack([query2, np.zeros((sq - lx % sq, 1), dtype=U32)])
         state.append(secret2)

@@ -14,6 +14,7 @@ EXPECTED = {
     "spiral_scan_throughput_batch16",
     "spiral_scan_single_query_device_ms",
     "doublepir_answer_throughput",
+    "spiral_batch16_full_protocol",
     "spiral_p50_1gib",
 }
 
