@@ -284,6 +284,28 @@ class SpiralServerJax:
         f_hi, f_lo = self._scan_fold_impl(db, q_arr, v_folding)
         return self._pack_encode_impl(f_hi, f_lo, v_packing)
 
+    def _full_batched_impl(self, db, ct_hi_b, ct_lo_b, v_exp_left,
+                           v_exp_right, v_conv, v_packing):
+        """The whole BATCH as one traced program: vmapped expansion over
+        stacked per-client keys, ONE shared DB scan (2*NQ MXU columns),
+        per-query folds, vmapped pack+encode. A batch of any size is a
+        single dispatch and a single wire-words fetch."""
+        q_arrs, v_folds = jax.vmap(self._expand_impl)(
+            ct_hi_b, ct_lo_b, v_exp_left, v_exp_right, v_conv)
+        f_hi, f_lo = self._scan_fold_batched_impl(db, q_arrs, v_folds)
+        return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
+
+    def _full_batched_sparse_impl(self, db, ct_hi_b, ct_lo_b, v_exp_left,
+                                  v_exp_right, v_conv, v_packing,
+                                  *sched_args):
+        def expand(h, l, a, b, c):
+            return self._expand_sparse_impl(h, l, a, b, c, *sched_args)
+
+        q_arrs, v_folds = jax.vmap(expand)(ct_hi_b, ct_lo_b, v_exp_left,
+                                           v_exp_right, v_conv)
+        f_hi, f_lo = self._scan_fold_batched_impl(db, q_arrs, v_folds)
+        return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
+
     def _dispatch_fused(self, pp_dev: dict, query: Query):
         """Async-dispatch the fused single-query program (sparse-expansion
         variant when a populated set is installed); returns the device
@@ -396,6 +418,43 @@ class SpiralServerJax:
             # staged / sharded / CLIENT_TEST paths block internally
             res = [self.process_query(pp, query)]
             return lambda: res
+
+        def stack_key(pps, key):
+            return jax.tree.map(lambda *xs: jnp.stack(xs),
+                                *[pp[key] for pp in pps])
+
+        if (params.expand_queries and self._sharded is None
+                and not client_test_active()):
+            # one dispatch for the whole batch: expansion, scan, folds,
+            # pack and encode fused (per-client key material stacked —
+            # identical clients repeat their keys; acceptable at serving
+            # batch sizes, the index dwarfs them)
+            pps = [pp if isinstance(pp, dict) else pp_to_device(params, pp)
+                   for pp, _ in requests]
+            hs, ls = zip(*[_split_pair_np(q.ct) for _, q in requests])
+            ct_hi_b = jnp.asarray(np.stack(hs))
+            ct_lo_b = jnp.asarray(np.stack(ls))
+            stacked = tuple(stack_key(pps, k) for k in
+                            ("v_exp_left", "v_exp_right", "v_conversion",
+                             "v_packing"))
+            if self._splan is not None:
+                if not hasattr(self, "_jit_full_b_sparse"):
+                    self._jit_full_b_sparse = jax.jit(
+                        self._full_batched_sparse_impl)
+                words_all = self._jit_full_b_sparse(
+                    self.db, ct_hi_b, ct_lo_b, *stacked, *self._splan_dev)
+            else:
+                if not hasattr(self, "_jit_full_b"):
+                    self._jit_full_b = jax.jit(self._full_batched_impl)
+                words_all = self._jit_full_b(self.db, ct_hi_b, ct_lo_b,
+                                             *stacked)
+
+            def fetch():
+                host = np.asarray(words_all)   # one device->host transfer
+                return [self._encode_plan.to_bytes(host[i])
+                        for i in range(len(requests))]
+
+            return fetch
         q_arrs, v_folds, pps = [], [], []
         for pp, query in requests:
             pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
