@@ -306,6 +306,22 @@ class SpiralServerJax:
         f_hi, f_lo = self._scan_fold_batched_impl(db, q_arrs, v_folds)
         return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
 
+    def _full_batched_sharded_impl(self, db, ct_hi_b, ct_lo_b, v_exp_left,
+                                   v_exp_right, v_conv, v_packing,
+                                   *sched_args):
+        """Sharded fused batch: expansion vmaps replicated, the scan runs
+        as the shard_map'd DB pass (exact mod-q psum over "db"), pack and
+        encode vmap over the gathered fold outputs — still one dispatch."""
+        if sched_args:
+            def expand(h, l, a, b, c):
+                return self._expand_sparse_impl(h, l, a, b, c, *sched_args)
+        else:
+            expand = self._expand_impl
+        q_arrs, v_folds = jax.vmap(expand)(ct_hi_b, ct_lo_b, v_exp_left,
+                                           v_exp_right, v_conv)
+        f_hi, f_lo = self._sharded.scan_fold_batched(db, q_arrs, v_folds)
+        return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
+
     def _dispatch_fused(self, pp_dev: dict, query: Query):
         """Async-dispatch the fused single-query program (sparse-expansion
         variant when a populated set is installed); returns the device
@@ -423,8 +439,7 @@ class SpiralServerJax:
             return jax.tree.map(lambda *xs: jnp.stack(xs),
                                 *[pp[key] for pp in pps])
 
-        if (params.expand_queries and self._sharded is None
-                and not client_test_active()):
+        if params.expand_queries and not client_test_active():
             # one dispatch for the whole batch: expansion, scan, folds,
             # pack and encode fused (per-client key material stacked —
             # identical clients repeat their keys; acceptable at serving
@@ -437,12 +452,19 @@ class SpiralServerJax:
             stacked = tuple(stack_key(pps, k) for k in
                             ("v_exp_left", "v_exp_right", "v_conversion",
                              "v_packing"))
-            if self._splan is not None:
+            sched = self._splan_dev if self._splan is not None else ()
+            if self._sharded is not None:
+                if not hasattr(self, "_jit_full_b_sharded"):
+                    self._jit_full_b_sharded = jax.jit(
+                        self._full_batched_sharded_impl)
+                words_all = self._jit_full_b_sharded(
+                    self.db, ct_hi_b, ct_lo_b, *stacked, *sched)
+            elif self._splan is not None:
                 if not hasattr(self, "_jit_full_b_sparse"):
                     self._jit_full_b_sparse = jax.jit(
                         self._full_batched_sparse_impl)
                 words_all = self._jit_full_b_sparse(
-                    self.db, ct_hi_b, ct_lo_b, *stacked, *self._splan_dev)
+                    self.db, ct_hi_b, ct_lo_b, *stacked, *sched)
             else:
                 if not hasattr(self, "_jit_full_b"):
                     self._jit_full_b = jax.jit(self._full_batched_impl)
