@@ -196,6 +196,70 @@ class SpiralServerJax:
                 dtype=U32)
         return q_arr, v_folding
 
+    # -- pad-free flat query carriers (batched fused path) --
+    #
+    # The single-query layout (crt, z, dim0, 2) pads its minor dim 2 -> 128
+    # lanes under the TPU T(8,128) tiling (64x); vmapped over a 16-query
+    # batch at the 1 GiB shape the expansion scatter materialized a 16 GB
+    # padded temp and OOM'd the chip. The batched path therefore carries
+    # each query as a FLAT (crt, z, 2*dim0) array (row r of the ct at
+    # columns [r*dim0, (r+1)*dim0)) — minor dim 2*dim0, no padding — and
+    # scans via sj.firstdim_multiply_qT. Bit-identical throughout.
+
+    def _expand_flat_impl(self, ct0_hi, ct0_lo, v_exp_left, v_exp_right,
+                          v_conv):
+        params = self.params
+        ct0 = sj.to_ntt(params, ct0_hi, ct0_lo)
+        right_expanded = params.t_gsw * params.db_dim_2
+        cts = sj.coefficient_expansion(params, self.plan, ct0, v_exp_left,
+                                       v_exp_right, right_expanded)
+        dim0 = 1 << params.db_dim_1
+        if params.db_dim_2 > 0:
+            v_reg = cts[0::2][:dim0]
+            v_folding = sj.regev_to_gsw(
+                params, cts[1::2][:right_expanded], v_conv)
+        else:
+            v_reg = cts[:dim0]
+            v_folding = jnp.zeros(
+                (0, 2, 2 * params.t_gsw, params.crt_count, params.poly_len),
+                dtype=U32)
+        # v_reg: (dim0, 2, 1, crt, z) -> per-row (crt, z, dim0) planes,
+        # concatenated to the flat (crt, z, 2*dim0) carrier
+        q_flat = jnp.concatenate(
+            [jnp.transpose(v_reg[:, r, 0], (1, 2, 0)) for r in (0, 1)],
+            axis=-1)
+        return q_flat, v_folding
+
+    def _expand_sparse_flat_impl(self, ct0_hi, ct0_lo, v_exp_left,
+                                 v_exp_right, v_conv, *sched_args):
+        params = self.params
+        ct0 = sj.to_ntt(params, ct0_hi, ct0_lo)
+        leaves, even_leaf_pos, even_dim0_idx, odd_leaf_pos = \
+            sj.coefficient_expansion_sparse(params, self.plan, self._splan,
+                                            ct0, v_exp_left, v_exp_right,
+                                            sched_args)
+        dim0 = 1 << params.db_dim_1
+        v_reg = jnp.take(leaves, even_leaf_pos, axis=0)   # (P, 2, 1, crt, n)
+        # per-row value planes (crt, z, P) — all pad-free minors
+        vals = [jnp.transpose(v_reg[:, r, 0], (1, 2, 0)) for r in (0, 1)]
+        vals2 = jnp.concatenate(vals, axis=-1)            # (crt, z, 2P)
+        # the plan pads unused slots with index == dim0; in the flat carrier
+        # that lands on row-1 column 0, so remap row-0 pads out of bounds
+        idx0 = jnp.where(even_dim0_idx >= dim0, 2 * dim0, even_dim0_idx)
+        idx1 = even_dim0_idx + dim0                       # pads -> 2*dim0 OOB
+        idx2 = jnp.concatenate([idx0, idx1])
+        q_flat = jnp.zeros((params.crt_count, params.poly_len, 2 * dim0),
+                           dtype=U32)
+        q_flat = q_flat.at[:, :, idx2].set(vals2, mode="drop")
+        if params.db_dim_2 > 0:
+            v_gsw_inp = jnp.take(leaves, odd_leaf_pos, axis=0)
+            v_folding = sj.regev_to_gsw(params, v_gsw_inp, v_conv)
+        else:
+            v_folding = jnp.zeros(
+                (0, 2, 2 * params.t_gsw, params.crt_count, params.poly_len),
+                dtype=U32)
+        return q_flat, v_folding
+
     def _scan_fold_impl(self, db, q_arr, v_folding):
         """db: tuple of crt*L limb planes (z, inst, trials, num_per, dim0)
         int8. Returns folded raw cts (inst, trials, 2, 1, poly_len) pairs."""
@@ -290,20 +354,20 @@ class SpiralServerJax:
         stacked per-client keys, ONE shared DB scan (2*NQ MXU columns),
         per-query folds, vmapped pack+encode. A batch of any size is a
         single dispatch and a single wire-words fetch."""
-        q_arrs, v_folds = jax.vmap(self._expand_impl)(
+        q_flats, v_folds = jax.vmap(self._expand_flat_impl)(
             ct_hi_b, ct_lo_b, v_exp_left, v_exp_right, v_conv)
-        f_hi, f_lo = self._scan_fold_batched_impl(db, q_arrs, v_folds)
+        f_hi, f_lo = self._scan_fold_batched_impl(db, q_flats, v_folds)
         return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
 
     def _full_batched_sparse_impl(self, db, ct_hi_b, ct_lo_b, v_exp_left,
                                   v_exp_right, v_conv, v_packing,
                                   *sched_args):
         def expand(h, l, a, b, c):
-            return self._expand_sparse_impl(h, l, a, b, c, *sched_args)
+            return self._expand_sparse_flat_impl(h, l, a, b, c, *sched_args)
 
-        q_arrs, v_folds = jax.vmap(expand)(ct_hi_b, ct_lo_b, v_exp_left,
-                                           v_exp_right, v_conv)
-        f_hi, f_lo = self._scan_fold_batched_impl(db, q_arrs, v_folds)
+        q_flats, v_folds = jax.vmap(expand)(ct_hi_b, ct_lo_b, v_exp_left,
+                                            v_exp_right, v_conv)
+        f_hi, f_lo = self._scan_fold_batched_impl(db, q_flats, v_folds)
         return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
 
     def _full_batched_sharded_impl(self, db, ct_hi_b, ct_lo_b, v_exp_left,
@@ -373,15 +437,20 @@ class SpiralServerJax:
 
     # -- batched serving: amortize one DB pass over many queries --
 
-    def _scan_fold_batched_impl(self, db, q_arrs, v_foldings):
-        """q_arrs: (NQ, crt, z, dim0, 2); v_foldings: (NQ, dim2, 2, 2t, crt, z).
-        One DB scan with 2*NQ result columns fills the MXU (the reference's
-        query-batching pattern, SURVEY 2.8); folds run per query."""
+    def _scan_fold_batched_impl(self, db, q_flats, v_foldings):
+        """q_flats: (NQ, crt, z, 2*dim0) pad-free flat carriers (row r of
+        query i at columns [r*dim0, (r+1)*dim0)); v_foldings:
+        (NQ, dim2, 2, 2t, crt, z). One DB scan with 2*NQ result columns
+        fills the MXU (the reference's query-batching pattern, SURVEY 2.8);
+        folds run per query."""
         params = self.params
-        nq = q_arrs.shape[0]
-        # (crt, z, dim0, 2*NQ)
-        q_wide = jnp.concatenate([q_arrs[i] for i in range(nq)], axis=-1)
-        inter = sj.firstdim_multiply(params, db, q_wide)
+        nq, crt, z = q_flats.shape[:3]
+        dim0 = q_flats.shape[-1] // 2
+        # (crt, z, NQ, 2*dim0) -> (crt, z, 2*NQ, dim0): column order
+        # [2*i + r], identical to the old per-query concat along R
+        q_t = jnp.transpose(q_flats, (1, 2, 0, 3)).reshape(
+            crt, z, 2 * nq, dim0)
+        inter = sj.firstdim_multiply_qT(params, db, q_t)
         # (crt, z, inst, trials, num_per, 2*NQ)
         inst, trials = inter.shape[2], inter.shape[3]
         outs_h, outs_l = [], []
@@ -477,14 +546,22 @@ class SpiralServerJax:
                         for i in range(len(requests))]
 
             return fetch
+        sharded = self._sharded is not None
+        if not sharded and not hasattr(self, "_jit_q_flat"):
+            # (crt, z, dim0, 2) -> pad-free (crt, z, 2*dim0); its own tiny
+            # dispatch so each padded per-query buffer is released before
+            # the next query's lands (16 padded carriers alone exceed HBM
+            # at the 1 GiB shape)
+            self._jit_q_flat = jax.jit(lambda qa: jnp.concatenate(
+                [qa[..., 0], qa[..., 1]], axis=-1))
         q_arrs, v_folds, pps = [], [], []
         for pp, query in requests:
             pp_dev = pp if isinstance(pp, dict) else pp_to_device(params, pp)
             q_arr, v_folding = self.query_to_device(pp_dev, query)
-            q_arrs.append(q_arr)
+            q_arrs.append(q_arr if sharded else self._jit_q_flat(q_arr))
             v_folds.append(v_folding)
             pps.append(pp_dev)
-        if self._sharded is not None:
+        if sharded:
             f_hi, f_lo = self._sharded.scan_fold_batched(
                 self.db, jnp.stack(q_arrs), jnp.stack(v_folds))
         else:

@@ -350,10 +350,14 @@ def firstdim_multiply(params: Params, db_planes, q_arr):
     Returns (crt, z, inst, trials, num_per, R) uint32, exact mod q_c.
 
     Query limbs stack into the matmul N dimension (N = NUM_LIMBS*R) and the
-    trial axes merge into one flat (z*inst*trials) GEMM batch with the
-    query explicitly repeated per trial (broadcast-batch einsum forms also
-    measured ~2.3x slower). Limb partials regroup by weight s=k+l (int32
-    sums < 2^27) and recombine with Shoup multiplications by
+    inst/trials axes fold into the GEMM M axis (a free reshape — they are
+    adjacent to num_per in the plane layout), so the batch is Z and
+    M = inst*trials*num_per with no per-trial query repeat. Raced against
+    the (z*inst*trials)-batched tiny-GEMM form on v5e (tools/
+    profile_scan_forms.py): M-merged wins 466->623 GB/s at inst=4 single
+    query and 2.4x at the 16-query batch, ties at inst=1 — the tiny-M
+    batched form fragments XLA's tiling. Limb partials regroup by weight
+    s=k+l (int32 sums < 2^27) and recombine with Shoup multiplications by
     (2^(7s) mod q), sum < 14q < 2^32.
 
     A CompactDb db dispatches to the O(populated) compact scan.
@@ -367,23 +371,59 @@ def firstdim_multiply(params: Params, db_planes, q_arr):
     for c, q in enumerate(params.moduli):
         q_limbs = _to_limbs_i8(q_arr[c])                 # each (z, j, r) int8
         q_stack = jnp.concatenate(q_limbs, axis=-1)      # (z, j, L*R)
-        q_rep = jnp.repeat(q_stack, IT, axis=0)          # (z*IT, j, L*R)
         parts = [jnp.einsum("zij,zjr->zir",
                             db_planes[c * NUM_LIMBS + k].reshape(
-                                Z * IT, npr, dim0), q_rep,
+                                Z, IT * npr, dim0), q_stack,
                             preferred_element_type=jnp.int32)
                  for k in range(NUM_LIMBS)]
-        partials = [None] * (2 * NUM_LIMBS - 1)
-        for k in range(NUM_LIMBS):
-            for l in range(NUM_LIMBS):
-                m = parts[k][..., l * R : (l + 1) * R]
-                s = k + l
-                partials[s] = m if partials[s] is None else partials[s] + m
-        acc = None
-        for s, p in enumerate(partials):
-            term = shoup_mulmod_lazy(p.astype(U32), (1 << (LIMB_BITS * s)) % q, q)
-            acc = term if acc is None else acc + term   # < 14q < 2^32
-        acc = reduce_u32_mod_q(acc, q)
+        acc = _combine_scan_parts(parts, R, q)
+        out_ch.append(acc.reshape(Z, inst, trials, npr, R))
+    return jnp.stack(out_ch, axis=0)
+
+
+def _combine_scan_parts(parts, R: int, q: int):
+    """Regroup the NUM_LIMBS x NUM_LIMBS limb partials of the scan GEMM by
+    weight s=k+l (int32 sums < 2^27) and recombine mod q with Shoup
+    multiplications by (2^(7s) mod q); the lazy sum stays < 14q < 2^32."""
+    partials = [None] * (2 * NUM_LIMBS - 1)
+    for k in range(NUM_LIMBS):
+        for l in range(NUM_LIMBS):
+            m = parts[k][..., l * R : (l + 1) * R]
+            s = k + l
+            partials[s] = m if partials[s] is None else partials[s] + m
+    acc = None
+    for s, p in enumerate(partials):
+        term = shoup_mulmod_lazy(p.astype(U32), (1 << (LIMB_BITS * s)) % q, q)
+        acc = term if acc is None else acc + term   # < 14q < 2^32
+    return reduce_u32_mod_q(acc, q)
+
+
+def firstdim_multiply_qT(params: Params, db_planes, q_t):
+    """firstdim_multiply with the query in row-transposed layout
+    q_t: (crt, z, R, dim0) uint32 — the carrier the batched serving path
+    assembles with NO lane padding. Any u32/int8 array with a small minor
+    dim pads under the TPU's T(8,128) tiling: the (..., dim0, R) layout
+    with R=2 pads its minor dim 64x, and at a 16-query batch on the 1 GiB
+    config the vmapped expansion scatter materialized 16 GB of padding
+    and OOM'd the chip. With dim0 minor every intermediate is pad-free.
+    Bit-identical to firstdim_multiply on the transposed query (the int32
+    partial sums are exact in any order); column order [l*R + r] matches,
+    so the limb recombination is shared."""
+    if isinstance(db_planes, CompactDb):
+        raise NotImplementedError("compact DBs serve via firstdim_multiply")
+    Z, inst, trials, npr, dim0 = db_planes[0].shape
+    R = q_t.shape[-2]
+    IT = inst * trials
+    out_ch = []
+    for c, q in enumerate(params.moduli):
+        q_limbs = _to_limbs_i8(q_t[c])                   # each (z, r, j) int8
+        q_stack = jnp.concatenate(q_limbs, axis=-2)      # (z, L*R, j)
+        parts = [jnp.einsum("zij,zrj->zir",
+                            db_planes[c * NUM_LIMBS + k].reshape(
+                                Z, IT * npr, dim0), q_stack,
+                            preferred_element_type=jnp.int32)
+                 for k in range(NUM_LIMBS)]
+        acc = _combine_scan_parts(parts, R, q)
         out_ch.append(acc.reshape(Z, inst, trials, npr, R))
     return jnp.stack(out_ch, axis=0)
 
