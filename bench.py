@@ -228,12 +228,13 @@ def bench_doublepir_answer() -> dict:
     bidx = srv._batch_index(nq)
 
     @jax.jit
-    def answer_dev(db_, h1, a2p, q1, q2, b):
-        msg0, a_2, h_2 = srv._answer_fused(db_, h1, a2p, q1, q2, b)
+    def answer_dev(db_, h1lo, h1hi, a2p, q1, q2, b):
+        msg0, a_2, h_2 = srv._answer_fused(db_, h1lo, h1hi, a2p, q1, q2, b)
         return (msg0.sum(dtype=jnp.uint32) + a_2.sum(dtype=jnp.uint32)
                 + h_2.sum(dtype=jnp.uint32))
 
-    args = (srv.db, srv.h1_sq, srv._a2_pad_dev, q1_all, q2_all, bidx)
+    args = (srv.db, srv.h1_lo, srv.h1_hi, srv._a2_pad_dev, q1_all, q2_all,
+            bidx)
     int(answer_dev(*args))  # compile + warm
     iters = 5
     t0 = time.perf_counter()

@@ -71,6 +71,44 @@ def _colsum_u32(b_u32):
     return b_u32.sum(axis=0, dtype=jnp.uint32)
 
 
+def _unsquish_limbs(h1_sq):
+    """Squished H1 (rows, C) u32 -> (lo, hi) int8 planes (rows, 3C): the
+    packed 10-bit digits' low-7 / high-3 bits, PRE-extracted once at
+    install time. The answer's hint matvec then reads two int8 planes
+    straight into the MXU — the per-answer unsquish + limb extraction of
+    mat_mul_vec_packed_traced materialized ~3 GB of temporaries and made
+    a_2 cost 25.7 ms of the 40 ms fused answer at the production shape
+    (tools/profile_checklist_answer.py)."""
+    rows, c = h1_sq.shape
+    parts = [(h1_sq >> jnp.uint32(SQUISH_BASIS * k)) & jnp.uint32(1023)
+             for k in range(SQUISH_DELTA)]
+    d = jnp.stack(parts, axis=-1).reshape(rows, c * SQUISH_DELTA)
+    return ((d & jnp.uint32(127)).astype(jnp.int8),
+            (d >> jnp.uint32(7)).astype(jnp.int8))
+
+
+def _dot_i8pair_u32(a_lo, a_hi, b_u32):
+    """(a_lo + (a_hi << 7)) @ b_u32, exact mod 2^32, for 10-bit digit
+    operands stored as two int8 planes. b's five 7-bit limbs concatenate
+    along N (one HBM pass per plane, extra MXU columns ~free); int32
+    accumulation is exact because 128*127*K < 2^31 (the checklist bound
+    asserted in __init__ — digits' products are nonnegative, so the i32
+    sums convert to u32 exactly)."""
+    n = b_u32.shape[1]
+    bcat = jnp.concatenate(_b_limbs(b_u32), axis=1)       # (K, 5N) int8
+    z_lo = jnp.dot(a_lo, bcat, preferred_element_type=jnp.int32)
+    z_hi = jnp.dot(a_hi, bcat, preferred_element_type=jnp.int32)
+    out = jnp.zeros((a_lo.shape[0], n), dtype=jnp.uint32)
+    for k in range(NB_LIMBS):
+        sh = LIMB_BITS * k
+        out = out + (z_lo[:, k * n : (k + 1) * n].astype(jnp.uint32)
+                     << jnp.uint32(sh))
+        if sh + LIMB_BITS < 32:
+            out = out + (z_hi[:, k * n : (k + 1) * n].astype(jnp.uint32)
+                         << jnp.uint32(sh + LIMB_BITS))
+    return out
+
+
 class ChecklistServerJax:
     """Full device-resident DoublePIR server for P=8 (byte-element) DBs.
 
@@ -116,6 +154,8 @@ class ChecklistServerJax:
                      .astype(np.int16) - 128).astype(np.int8)
             self.db = self._shard_rows(db_i8, fill=-128, pre_padded=True)
         self.h1_sq = None       # device (n*delta, ceil(l/3)) u32
+        self.h1_lo = None       # device (n*delta, 3*ceil(l/3)) int8 digit lo7
+        self.h1_hi = None       # device (n*delta, 3*ceil(l/3)) int8 digit hi3
         self.a_2_t = None       # host   (n, l padded to 3) u32
         self._batch_cache: dict[int, jnp.ndarray] = {}
         self._jit_answer = None
@@ -188,8 +228,27 @@ class ChecklistServerJax:
         else:
             self.h1_sq, h2 = self._setup_sharded(a_1, a_2)
         self.h1_sq.block_until_ready()
+        self._install_h1_planes()
         self._install_a2(a_2)
         return [np.asarray(h2)]
+
+    def _install_h1_planes(self) -> None:
+        """Derive the (lo, hi) int8 digit planes of H1 from the squished
+        form (the persistence/wire format stays h1_sq; the planes are the
+        answer path's serving layout)."""
+        if self.mesh is None:
+            self.h1_lo, self.h1_hi = jax.jit(_unsquish_limbs)(self.h1_sq)
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from ..ops.shard import shard_map
+
+            fn = shard_map(_unsquish_limbs, mesh=self.mesh,
+                           in_specs=(P(None, "db"),),
+                           out_specs=(P(None, "db"), P(None, "db")),
+                           check_rep=False)
+            self.h1_lo, self.h1_hi = jax.jit(fn)(self.h1_sq)
+        self.h1_lo.block_until_ready()
 
     def _install_a2(self, a_2: np.ndarray) -> None:
         a2c = a_2
@@ -217,6 +276,7 @@ class ChecklistServerJax:
             self.h1_sq = jax.device_put(
                 jnp.asarray(np.asarray(h1_sq, dtype=np.uint32)),
                 jsh.NamedSharding(self.mesh, jsh.PartitionSpec(None, "db")))
+        self._install_h1_planes()
         self._install_a2(a_2)
 
     def _setup_sharded(self, a_1: np.ndarray, a_2: np.ndarray):
@@ -291,7 +351,7 @@ class ChecklistServerJax:
             self._batch_cache[nq] = idx
         return idx
 
-    def _answer_fused(self, db_i8, h1_sq, a2p, q1, q2, bidx):
+    def _answer_fused(self, db_i8, h1_lo, h1_hi, a2p, q1, q2, bidx):
         """The WHOLE batched answer as one traced program: level-1 DB pass
         + diagonal row-batch select, the a_1 -> squished-a_1^T glue
         transform (transpose_expand_concat_cols_squish for cols=concat=1,
@@ -317,7 +377,7 @@ class ChecklistServerJax:
         a_1t = jnp.stack(rows)                               # (delta, ceil(l/3))
         msg0 = matmul_u32_traced(unsquish_traced(a_1t, a2p.shape[0]), a2p,
                                  a_bits=SQUISH_BASIS)
-        a_2 = mat_mul_vec_packed_traced(h1_sq, q2)
+        a_2 = _dot_i8pair_u32(h1_lo, h1_hi, q2)
         h_2 = mat_mul_vec_packed_traced(a_1t, q2)
         return msg0, a_2, h_2
 
@@ -330,15 +390,17 @@ class ChecklistServerJax:
 
         from ..ops.shard import shard_map
 
-        def local(db, h1sq, a2p, q1, q2, bidx):
-            msg0, a_2, h_2 = self._answer_fused(db, h1sq, a2p, q1, q2, bidx)
+        def local(db, h1lo, h1hi, a2p, q1, q2, bidx):
+            msg0, a_2, h_2 = self._answer_fused(db, h1lo, h1hi, a2p, q1, q2,
+                                                bidx)
             return (jax.lax.psum(msg0, "db"), jax.lax.psum(a_2, "db"),
                     jax.lax.psum(h_2, "db"))
 
         return jax.jit(shard_map(
             local, mesh=self.mesh,
-            in_specs=(P("db", None), P(None, "db"), P("db", None),
-                      P(None, None), P("db", None), P("db", None)),
+            in_specs=(P("db", None), P(None, "db"), P(None, "db"),
+                      P("db", None), P(None, None), P("db", None),
+                      P("db", None)),
             out_specs=(P(None, None),) * 3, check_rep=False))
 
     def answer(self, queries: list[list[np.ndarray]]) -> list[np.ndarray]:
@@ -358,8 +420,8 @@ class ChecklistServerJax:
         q2_dev = self._shard_rows(q2_all) if self.mesh is not None \
             else jnp.asarray(q2_all)
         msg0, a_2_all, h_2_all = self._jit_answer(
-            self.db, self.h1_sq, self._a2_pad_dev, jnp.asarray(q1_all),
-            q2_dev, self._batch_index(nq))
+            self.db, self.h1_lo, self.h1_hi, self._a2_pad_dev,
+            jnp.asarray(q1_all), q2_dev, self._batch_index(nq))
         msg: list[np.ndarray] = [np.asarray(msg0)]
         a_2_np, h_2_np = np.asarray(a_2_all), np.asarray(h_2_all)
         for k in range(nq):

@@ -283,22 +283,34 @@ def compact_db_empty(params: Params, cap_bin: int = 8) -> CompactDb:
 _COMPACT_CAP_CHUNK = 64  # slot-axis chunk; see fusion-cliff note below
 
 
-def _firstdim_multiply_compact(params: Params, db: CompactDb, q_arr):
+def _firstdim_multiply_compact(params: Params, db: CompactDb, q_arr,
+                               q_transposed: bool = False):
     """Compact first-dim multiply: gather each bin's populated query columns
     (idx_j) and contract over the per-bin slot axis. Limb products, weight
     regrouping and Shoup recombination are identical to the dense path on
     identically-valued int32 partial sums (unoccupied slots contribute
     exactly zero), so outputs are bit-identical to dense firstdim_multiply
     on the equivalent dense tensor. Per-bin sums span <= cap_bin <= dim0
-    terms — the same int32 bound as dense."""
+    terms — the same int32 bound as dense.
+
+    q_transposed=True takes the batched serving path's pad-free flat
+    carrier layout (crt, z, R, dim0) (see firstdim_multiply_qT); the
+    gathered per-bin columns land in the same (z, npr, cap, L*R) order
+    either way, so everything downstream is shared and bit-identical."""
     planes, idx_j = db.planes, db.idx_j
     Z, inst, trials, npr, cap = planes[0].shape
-    R = q_arr.shape[-1]
+    R = q_arr.shape[-2] if q_transposed else q_arr.shape[-1]
     out_ch = []
     for c, q in enumerate(params.moduli):
-        q_limbs = _to_limbs_i8(q_arr[c])                 # each (z, dim0, R)
-        q_stack = jnp.concatenate(q_limbs, axis=-1)      # (z, dim0, L*R)
-        q_g = jnp.take(q_stack, idx_j, axis=1)           # (z, npr, cap, L*R)
+        if q_transposed:
+            q_limbs = _to_limbs_i8(q_arr[c])             # each (z, R, dim0)
+            q_stack = jnp.concatenate(q_limbs, axis=-2)  # (z, L*R, dim0)
+            q_g = jnp.transpose(jnp.take(q_stack, idx_j, axis=-1),
+                                (0, 2, 3, 1))            # (z, npr, cap, L*R)
+        else:
+            q_limbs = _to_limbs_i8(q_arr[c])             # each (z, dim0, R)
+            q_stack = jnp.concatenate(q_limbs, axis=-1)  # (z, dim0, L*R)
+            q_g = jnp.take(q_stack, idx_j, axis=1)       # (z, npr, cap, L*R)
         # broadcast-multiply + reduce over the slot axis, NOT an einsum:
         # the per-bin contraction makes dot_general lower to ~npr*z tiny
         # batched GEMMs with a fixed ~30 ms overhead (measured flat in cap
@@ -410,7 +422,8 @@ def firstdim_multiply_qT(params: Params, db_planes, q_t):
     partial sums are exact in any order); column order [l*R + r] matches,
     so the limb recombination is shared."""
     if isinstance(db_planes, CompactDb):
-        raise NotImplementedError("compact DBs serve via firstdim_multiply")
+        return _firstdim_multiply_compact(params, db_planes, q_t,
+                                          q_transposed=True)
     Z, inst, trials, npr, dim0 = db_planes[0].shape
     R = q_t.shape[-2]
     IT = inst * trials

@@ -78,6 +78,46 @@ def test_compact_scan_bit_exact_vs_dense():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_compact_scan_qT_bit_exact_vs_dense():
+    """firstdim_multiply_qT (the batched serving path's transposed flat
+    query carrier) on a CompactDb must be bit-identical to the dense qT
+    scan AND to the untransposed compact scan — this is the path a batched
+    /private-read takes on a low-fill bucket (regression: it used to raise,
+    500-ing every batched read on a compact bucket)."""
+    import jax.numpy as jnp
+
+    from sdk_tpu.kv.ingest import DbUpdateBuffer
+    from sdk_tpu.ops import spiral_jax as sj
+    from sdk_tpu.ops.server_jax import db_zeros_device
+
+    params = _tiny_params()
+    rng = np.random.default_rng(3)
+    num_items = params.num_items()
+    datas = {i: _rand_row(params, rng) for i in (1, 6, num_items - 2)}
+
+    bd = DbUpdateBuffer(params)
+    bc = DbUpdateBuffer(params)
+    for i, d in datas.items():
+        bd.upsert_raw(i, d)
+        bc.upsert_raw(i, d)
+    dense = bd.flush(db_zeros_device(params))
+    compact = bc.flush(sj.compact_db_empty(params, cap_bin=2))
+    assert isinstance(compact, sj.CompactDb)
+
+    R = 4  # two queries' row pairs in the batched column layout
+    q_t = jnp.asarray(np.stack(
+        [rng.integers(0, q, (params.poly_len, R, 1 << params.db_dim_1),
+                      dtype=np.uint64).astype(np.uint32)
+         for q in params.moduli]))
+    want = np.asarray(sj.firstdim_multiply_qT(params, dense, q_t))
+    got = np.asarray(sj.firstdim_multiply_qT(params, compact, q_t))
+    np.testing.assert_array_equal(got, want)
+    # and vs the untransposed compact scan on the same query values
+    q_arr = jnp.transpose(q_t, (0, 1, 3, 2))
+    np.testing.assert_array_equal(
+        np.asarray(sj.firstdim_multiply(params, compact, q_arr)), want)
+
+
 def test_compact_scan_cap_chunking_bit_exact(monkeypatch):
     """The slot-axis chunking (fusion-cliff guard) must not change results:
     force a tiny chunk so every cap spans several chunks plus a ragged

@@ -80,6 +80,51 @@ def test_sparse_expansion_matches_dense_and_oracle():
     assert srv.process_query(pp2, q_miss) == dense_miss
 
 
+def test_sparse_expansion_batched_matches_dense():
+    """The fused BATCHED read with a sparse plan installed
+    (_full_batched_sparse_impl: vmapped _expand_sparse_flat_impl into the
+    flat pad-free query carrier, shared scan, per-query folds) must be
+    byte-identical to dense batched serving and decode every query."""
+    params = get_fast_expansion_testing_params()
+    items, db = _sparse_db(params)
+    dim0_set = {i >> params.db_dim_2 for i in POP_ITEMS}
+    # one populated hit, one miss, one more hit — three distinct clients
+    targets = [37, 43, 200]
+    clients, pps, queries = [], [], []
+    for i, t in enumerate(targets):
+        c = Client(params)
+        pp = c.generate_keys_from_seed(
+            bytes([0x42 + i]) * 32,
+            noise_rng=ChaCha20Rng(bytes([0x52 + i]) * 32),
+            pp_seed=bytes([0x62 + i]) * 32)
+        clients.append(c)
+        pps.append(PublicParameters.deserialize(params, pp.serialize(params)))
+        queries.append(_query_for(params, c, t))
+
+    srv = SpiralServerJax(params)
+    srv.set_db_host_tensor(db)
+    dense = srv.process_queries_batched(list(zip(pps, queries)))
+
+    srv.set_populated_dim0(dim0_set)
+    assert srv._splan is not None
+    sparse = srv.process_queries_batched(list(zip(pps, queries)))
+    assert sparse == dense
+
+    p_bits = log2_ceil(params.pt_modulus)
+    for i, t in enumerate(targets):
+        result = clients[i].decode_response(sparse[i])
+        item = np.zeros(
+            (params.instances * params.n, params.n, params.poly_len),
+            dtype=U64)
+        for instance in range(params.instances):
+            for trial in range(params.n * params.n):
+                item[instance * params.n + trial // params.n,
+                     trial % params.n] = items[instance, trial, t]
+        corr = poly.raw_to_bytes(params, item, p_bits,
+                                 params.modp_words_per_chunk())
+        assert result == corr, f"query {i} (target {t})"
+
+
 def test_sparse_plan_capacities_shrink_work():
     params = get_fast_expansion_testing_params()
     right = params.t_gsw * params.db_dim_2
