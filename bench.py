@@ -1,22 +1,36 @@
 """Benchmarks for every BASELINE.json target, on the real TPU chip.
 
 Prints ONE JSON line per metric:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-in order:
-  1. spiral_scan_throughput_batch16  — encrypted-DB scan GB/s, 16-query
-     batch sharing one DB pass (the serving pattern; reference batching
-     advice docs/docs/performance.mdx, SURVEY 2.8).
-  2. spiral_scan_single_query_device_ms — device-side single-query scan on
-     a 2 GiB index (dispatch RTT excluded by k-loop differencing).
-  3. doublepir_answer_throughput — online answer GB/s on a checklist-shaped
-     packed DB, batch-8 (reference kernels.rs:118-178; paper ~7.4 GB/s/core).
-  4. spiral_batch16_full_protocol — ms per 16-query full-protocol batch
-     (4 client sessions x 4 queries; one fused scan+fold, one vmapped
-     pack+encode dispatch — the coalescer's serving pattern).
-  5. spiral_p50_1gib — LAST (the headline): full-protocol p50 latency on
-     the 1 GiB bucket (2^15 x 32 KiB, params-store (9,6) v1 config =
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+in order (the HEADLINE p50 runs FIRST: the round-3 driver run hit its
+overall wall-clock budget before the last metric — rc=124 with the p50
+line missing — so the most important metric now cannot be starved):
+  1. spiral_p50_1gib — the headline: full-protocol p50 latency on the
+     1 GiB bucket (2^15 x 32 KiB, params-store (9,6) v1 config =
      reference bin/server.rs:191-203 scaled up one nu_2), decode verified
      bit-exact each iteration.
+  2. spiral_batch16_full_protocol — ms per 16-query full-protocol batch
+     (4 client sessions x 4 queries; one fused scan+fold, one vmapped
+     pack+encode dispatch — the coalescer's serving pattern).
+  3. doublepir_answer_throughput — online answer GB/s on a checklist-shaped
+     packed DB, batch-8 (reference kernels.rs:118-178; paper ~7.4 GB/s/core).
+  4. spiral_scan_throughput_batch16  — encrypted-DB scan GB/s, 16-query
+     batch sharing one DB pass (the serving pattern; reference batching
+     advice docs/docs/performance.mdx, SURVEY 2.8).
+  5. spiral_scan_single_query_device_ms — device-side single-query scan on
+     a 2 GiB index (dispatch RTT excluded by k-loop differencing).
+
+Metric definitions are FROZEN as of round 4. Throughput metrics carry BOTH
+conventions as explicit keys:
+    per_pass_gbps  — DB bytes / time for one pass (all batched queries
+                     share the pass), the honest hardware number
+    aggregate_gbps — DB bytes x batch / time, the per-query effective
+                     serving bandwidth (reference batching advice basis)
+`value` is per_pass_gbps for doublepir_answer_throughput (changed in r4:
+the r3 value was aggregate AND paid a ~28 ms tunnel-RTT dispatch fee per
+iteration — 38 ms measured for a 14 ms device answer) and aggregate for
+spiral_scan_throughput_batch16 (unchanged since r1; per_pass now also
+emitted).
 
 Baselines: Spiral paper ~1 GB/s/core CPU DB scan and DoublePIR paper
 ~7.4 GB/s/core (BASELINE.md; the reference publishes no absolute numbers).
@@ -128,6 +142,8 @@ def bench_scan_batch16() -> dict:
     gbps = db_bytes * NUM_QUERIES / dt / 1e9
     return {"metric": "spiral_scan_throughput_batch16",
             "value": round(gbps, 3), "unit": "GB/s",
+            "per_pass_gbps": round(gbps / NUM_QUERIES, 3),
+            "aggregate_gbps": round(gbps, 3),
             "vs_baseline": round(gbps / SPIRAL_BASELINE_GBPS, 2)}
 
 
@@ -174,21 +190,33 @@ def bench_doublepir_answer() -> dict:
     """Online answer at the FULL production checklist config
     (reference js/bridge/src/doublepir_lib.rs:118-129: l=92681, m=92683,
     p=464, ~2^36 bloom bits) through the device-resident server
-    (ChecklistServerJax): real hint setup on the MXU, then the batched
-    8-query answer — the bloom-checklist read pattern. The DB content is
-    synthesized on device (uploading 8.6 GB through the axon tunnel is a
-    harness artifact, not part of the serving path)."""
+    (ChecklistServerJax): the batched 8-query answer — the bloom-checklist
+    read pattern.
+
+    Operand provenance: the DB content AND the public matrices A1/A2 are
+    synthesized on device (uniform u32, the AES-CTR keystream's
+    distribution). Uploading the ~750 MB of real derived A matrices through
+    the ~30 MB/s axon tunnel is a harness artifact — it took 569 s in the
+    round-3 driver run and starved the later metrics — and both the setup
+    and answer kernels are content-independent. The hint planes still come
+    from the REAL device setup program (srv.setup), so the answer runs on
+    honestly-derived operands; bit-exactness of this exact path vs the host
+    oracle is pinned separately by tests/test_doublepir_server_jax.py.
+
+    Timing: k answers chained inside one dispatch, k=1 vs k=5 differenced,
+    so the ~28 ms tunnel dispatch RTT cancels exactly (the same methodology
+    as the Spiral scan metrics; the r3 number paid that RTT per iteration).
+    `value` = per_pass_gbps (frozen as of r4)."""
     import jax
     import jax.numpy as jnp
 
-    from sdk_tpu.doublepir import scheme
     from sdk_tpu.doublepir.params import Params
     from sdk_tpu.doublepir.server_jax import ChecklistServerJax
 
     params = Params.from_string("64,6.4,13,17,32,464") if TINY \
         else Params.from_string("1024,6.4,92681,92683,32,464")
     num_entries = params.l * params.m * 8 if TINY else 1 << 36
-    l, m = params.l, params.m
+    l, m, n = params.l, params.m, params.n
     nq = 8
 
     db = jax.jit(lambda: jax.random.randint(
@@ -196,56 +224,64 @@ def bench_doublepir_answer() -> dict:
     jax.block_until_ready(db)
     srv = ChecklistServerJax(num_entries, params, None, db_dev=db)
 
+    @jax.jit
+    def gen_shared():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(7))
+        a1 = jax.random.randint(k1, (m, n), 0, jnp.uint32(0xFFFFFFFF),
+                                dtype=jnp.uint32)
+        a2 = jax.random.randint(k2, (l, n), 0, jnp.uint32(0xFFFFFFFF),
+                                dtype=jnp.uint32)
+        return a1, a2
+
     t0 = time.perf_counter()
-    shared = scheme.init(srv.info, params)   # host AES-CTR derive of A1/A2
-    srv.setup(shared)                        # H1/H2 on device
+    a1, a2 = gen_shared()
+    srv.setup([a1, a2])                      # real device hint program
     setup_s = time.perf_counter() - t0
-    print(f"doublepir production setup (derive+upload+device hint): "
+    print(f"doublepir device setup (synthetic A, real hint program): "
           f"{setup_s:.1f}s", file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(5)
     lp3, mp3 = -(-l // 3) * 3, -(-m // 3) * 3
-    queries = [[rng.integers(0, 1 << 32, (mp3, 1), dtype=np.uint64)
-                .astype(np.uint32),
-                rng.integers(0, 1 << 32, (lp3, 1), dtype=np.uint64)
-                .astype(np.uint32)] for _ in range(nq)]
-
-    # end-to-end (incl. ~6 MB query upload — tunnel-dominated; stderr only)
-    srv.answer(queries)  # compile + warm
-    t0 = time.perf_counter()
-    srv.answer(queries)
-    print(f"doublepir answer incl query upload: "
-          f"{time.perf_counter() - t0:.3f}s", file=sys.stderr, flush=True)
-
-    # metric: device answer throughput with device-resident queries and a
-    # one-word fetch fence per dispatch (the scan benches' methodology —
-    # clients deliver queries over normal networking, not the 30 MB/s
-    # harness tunnel, so re-uploading them each iteration measures the
-    # tunnel, not the server)
-    q1_all = jnp.asarray(np.concatenate([q[0][:m] for q in queries], axis=1))
-    q2_np = np.concatenate([q[1] for q in queries], axis=1)
-    q2_all = jnp.asarray(q2_np)
+    q1_all = jnp.asarray(rng.integers(0, 1 << 32, (mp3, nq),
+                                      dtype=np.uint64)[:m].astype(np.uint32))
+    q2_all = jnp.asarray(rng.integers(0, 1 << 32, (lp3, nq),
+                                      dtype=np.uint64).astype(np.uint32))
     bidx = srv._batch_index(nq)
 
-    @jax.jit
-    def answer_dev(db_, h1lo, h1hi, a2p, q1, q2, b):
-        msg0, a_2, h_2 = srv._answer_fused(db_, h1lo, h1hi, a2p, q1, q2, b)
-        return (msg0.sum(dtype=jnp.uint32) + a_2.sum(dtype=jnp.uint32)
-                + h_2.sum(dtype=jnp.uint32))
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=7)
+    def answer_k(db_, h1lo, h1hi, a2p, q1, q2, b, k):
+        def body(i, acc):
+            msg0, a_2, h_2 = srv._answer_fused(
+                db_, h1lo, h1hi, a2p, q1 + i.astype(jnp.uint32), q2, b)
+            return (acc + msg0.sum(dtype=jnp.uint32)
+                    + a_2.sum(dtype=jnp.uint32) + h_2.sum(dtype=jnp.uint32))
+
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
     args = (srv.db, srv.h1_lo, srv.h1_hi, srv._a2_pad_dev, q1_all, q2_all,
             bidx)
-    int(answer_dev(*args))  # compile + warm
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        int(answer_dev(*args))
-    dt = (time.perf_counter() - t0) / iters
+
+    def timed(k, iters=6):
+        int(answer_k(*args, k))  # compile + warm
+        best = 1e9
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            int(answer_k(*args, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t5 = timed(1), timed(5)
+    dt = max((t5 - t1) / 4, 1e-9)
     db_bytes = l * m  # 1 byte per element on device
-    gbps = db_bytes * nq / dt / 1e9
+    per_pass = db_bytes / dt / 1e9
+    agg = per_pass * nq
     return {"metric": "doublepir_answer_throughput",
-            "value": round(gbps, 3), "unit": "GB/s",
-            "vs_baseline": round(gbps / DOUBLEPIR_BASELINE_GBPS, 2)}
+            "value": round(per_pass, 3), "unit": "GB/s",
+            "per_pass_gbps": round(per_pass, 3),
+            "aggregate_gbps": round(agg, 3),
+            "vs_baseline": round(per_pass / DOUBLEPIR_BASELINE_GBPS, 2)}
 
 
 def bench_spiral_batch16_protocol() -> dict:
@@ -380,9 +416,9 @@ def _enable_jit_cache() -> None:
 
 
 def main():
-    benches = [bench_scan_batch16, bench_scan_single_device,
-               bench_doublepir_answer, bench_spiral_batch16_protocol,
-               bench_spiral_p50_1gib]
+    benches = [bench_spiral_p50_1gib, bench_spiral_batch16_protocol,
+               bench_doublepir_answer, bench_scan_batch16,
+               bench_scan_single_device]
     # optional argv filter: any substring of a bench name, e.g.
     # `python bench.py p50 doublepir`
     args = [a for a in sys.argv[1:] if a != "--inproc"]

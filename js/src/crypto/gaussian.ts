@@ -58,19 +58,25 @@ export class DiscreteGaussian {
     }
   }
 
-  /** One sample as a value mod `modulus`, consuming one u64 draw. */
+  /** One sample as a value mod `modulus`, consuming one u64 draw.
+   *
+   * Constant-time selection (reference discrete_gaussian.rs:78-139, which
+   * scans the FULL table with `subtle`'s branch-free comparisons): every
+   * draw reads every table entry and accumulates the index arithmetically
+   * — no draw-dependent branch or memory index (a binary search walks a
+   * secret-dependent path). The count of entries < draw IS the first index
+   * with cdf[idx] >= draw, so values are unchanged. */
   sample(modulus: bigint, rng: ChaCha20Rng): bigint {
     const draw = rng.nextU64();
-    // first index i with cdf[i] >= draw (binary search, left side)
-    let lo = 0;
-    let hi = this.cdfTable.length;
-    while (lo < hi) {
-      const mid = (lo + hi) >> 1;
-      if (this.cdfTable[mid] < draw) lo = mid + 1;
-      else hi = mid;
+    let idx = 0;
+    for (let i = 0; i < this.cdfTable.length; i++) {
+      idx += Number(this.cdfTable[i] < draw); // 0/1, no branch
     }
-    const val = BigInt(lo - this.maxVal);
-    return val < 0n ? val + modulus : val;
+    const val = BigInt(idx - this.maxVal);
+    // branch-free recenter: arithmetic-shift sign mask (0n or -1n; bigint
+    // & sign-extends, so modulus & -1n === modulus and modulus & 0n === 0n)
+    const mask = val >> 63n;
+    return val + (modulus & mask);
   }
 
   sampleArray(modulus: bigint, rng: ChaCha20Rng, count: number): BigUint64Array {

@@ -3,6 +3,7 @@
  * sdk_tpu/doublepir/{client,scheme}.py). The shared matrices A1/A2 are
  * streamed from their fixed AES seeds, never materialized. */
 
+import { printChecksum } from "./debug";
 import { SEEDS_SHORT, deriveColSumsScaled, deriveMatVec } from "./derive";
 import { Mat, SQUISH_DELTA, contract, gaussianMat, matmulU32, randomU32 } from "./matrix";
 import { DbInfo, DpParams, reconstructElem } from "./params";
@@ -61,6 +62,7 @@ export class DoublePirClient {
     query1.addInPlace(err1);
     query1.data[i2] = (query1.data[i2] + extDelta) >>> 0;
     query1 = padRows(query1, SQUISH_DELTA);
+    printChecksum("query1", query1.data); // reference doublepir.rs:136
 
     const state: Mat[] = [secret1];
     const msg: Mat[] = [query1];
@@ -73,6 +75,7 @@ export class DoublePirClient {
       query2.addInPlace(err2);
       query2.data[i1 + j] = (query2.data[i1 + j] + extDelta) >>> 0;
       query2 = padRows(query2, SQUISH_DELTA);
+      printChecksum("query2", query2.data); // reference doublepir.rs:157
       state.push(secret2);
       msg.push(query2);
     }

@@ -32,11 +32,21 @@ class DiscreteGaussian:
 
     def sample_arr(self, modulus: int, rng, count: int) -> np.ndarray:
         """Draw `count` samples as values mod `modulus` (uint64), consuming one
-        u64 from `rng` per sample (same consumption as the reference)."""
+        u64 from `rng` per sample (same consumption as the reference).
+
+        Constant-time selection: the reference scans the FULL CDF table per
+        draw, accumulating the index with `subtle`'s branch-free comparisons
+        (discrete_gaussian.rs:78-139) so neither the branch pattern nor the
+        memory access pattern depends on the secret draw. The same structure
+        here: a full (count x table) comparison summed — no data-dependent
+        branch or index anywhere in the sample path (a searchsorted binary
+        search walks a draw-dependent path). Equivalent value: the count of
+        table entries < draw IS the first index with cdf[idx] >= draw."""
         draws = rng.next_u64(count)
-        # first index i with cdf[i] >= draw
-        idx = np.searchsorted(self.cdf_table, draws, side="left")
-        vals = idx.astype(np.int64) - self.max_val
+        idx = (self.cdf_table[None, :] < draws[:, None]).sum(
+            axis=1, dtype=np.int64)
+        vals = idx - self.max_val
+        # np.where is a vectorized select (both arms evaluated) — branch-free
         vals = np.where(vals < 0, vals + modulus, vals)
         return vals.astype(U64)
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 
 from .database import Db, DbInfo
+from .debug import print_checksum
 from .matrix import (SEEDS_SHORT, SQUISH_DELTA, U32, U64, derive_from_seed,
                      expand, gaussian, mat_mul_transposed_packed,
                      mat_mul_vec_packed, matmul_u32, random_logmod, squish,
@@ -71,6 +72,12 @@ def setup(db: Db, shared: State, params: Params,
                                                  dtype=U32)])
     a_2_t = np.ascontiguousarray(a_2_copy.T)
 
+    # divergence-hunting fingerprints (reference doublepir.rs:102-105)
+    print_checksum("H1", h_1)
+    print_checksum("A2_copy", a_2_copy)
+    print_checksum("H2", h_2)
+    print_checksum("DB.data", db.data)
+
     return [h_1, a_2_t], [h_2]
 
 
@@ -95,6 +102,7 @@ def query(i: int, shared: State, params: Params, info: DbInfo,
     sq = SQUISH_DELTA
     if params.m % sq != 0:
         query1 = np.vstack([query1, np.zeros((sq - params.m % sq, 1), dtype=U32)])
+    print_checksum("query1", query1)  # reference doublepir.rs:136
 
     state: State = [secret1]
     msg: State = [query1]
@@ -109,6 +117,7 @@ def query(i: int, shared: State, params: Params, info: DbInfo,
             (int(query2[i1 + j, 0]) + params.ext_delta()) & 0xFFFFFFFF)
         if lx % sq != 0:
             query2 = np.vstack([query2, np.zeros((sq - lx % sq, 1), dtype=U32)])
+        print_checksum("query2", query2)  # reference doublepir.rs:157
         state.append(secret2)
         msg.append(query2)
     return state, msg
@@ -147,10 +156,13 @@ def answer(db: Db, queries: list[State], server: State, params: Params,
                                         q[0]))
         last += batch_sz
     a_1 = np.vstack(parts)                       # (l, 1)
+    print_checksum("a1", a_1)                    # reference doublepir.rs:317
 
     a_1t = transpose_expand_concat_cols_squish(
         a_1, params.p, params.delta(), db.info.x)
+    print_checksum("a1 (#2)", a_1t)              # reference doublepir.rs:322
     msg: State = [mt(a_1t, a_2_t)]  # (delta*x, n)
+    print_checksum("h1", msg[0])                 # reference doublepir.rs:330
 
     # batch all second-level queries into single matvec passes over H1/a_1t
     q2_cols = [q[1 + j] for q in queries
@@ -161,6 +173,8 @@ def answer(db: Db, queries: list[State], server: State, params: Params,
     for k in range(q2_all.shape[1]):
         msg.append(np.ascontiguousarray(a_2_all[:, k : k + 1]))
         msg.append(np.ascontiguousarray(h_2_all[:, k : k + 1]))
+        print_checksum("a_2", msg[-2])           # reference doublepir.rs:340
+        print_checksum("h_2", msg[-1])           # reference doublepir.rs:341
     return msg
 
 

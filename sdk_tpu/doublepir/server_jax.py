@@ -128,8 +128,12 @@ class ChecklistServerJax:
             raise ValueError(
                 f"not a byte-element checklist config: packing={info.packing}"
                 f" ne={info.ne} x={info.x} (use DoublePirAnswerJax)")
-        assert 128 * 127 * max(params.m, params.l) < (1 << 31), \
-            "limb accumulation bound requires m, l < 132153"
+        # int32 accumulation bound for the limb dots: the contraction runs
+        # over m (level-1) or the SQUISH_DELTA-padded l (level-2 planes /
+        # msg0), so the padded length is what the bound must cover
+        lpad = -(-params.l // SQUISH_DELTA) * SQUISH_DELTA
+        assert 128 * 127 * max(params.m, lpad) < (1 << 31), \
+            "limb accumulation bound requires m, l+pad < 132153"
         self.params = params
         self.info = info
         self.mesh = mesh
@@ -153,7 +157,7 @@ class ChecklistServerJax:
             db_i8 = (flat.reshape(self.l_pad, m)
                      .astype(np.int16) - 128).astype(np.int8)
             self.db = self._shard_rows(db_i8, fill=-128, pre_padded=True)
-        self.h1_sq = None       # device (n*delta, ceil(l/3)) u32
+        self._h1_sq_host = None  # host (n*delta, ceil(l/3)) u32 (lazy)
         self.h1_lo = None       # device (n*delta, 3*ceil(l/3)) int8 digit lo7
         self.h1_hi = None       # device (n*delta, 3*ceil(l/3)) int8 digit hi3
         self.a_2_t = None       # host   (n, l padded to 3) u32
@@ -223,21 +227,45 @@ class ChecklistServerJax:
             return h1_sq.astype(jnp.uint32), h2
 
         if self.mesh is None:
-            self.h1_sq, h2 = _setup(self.db, jnp.asarray(a_1),
-                                    jnp.asarray(a_2))
+            h1_sq_dev, h2 = _setup(self.db, jnp.asarray(a_1),
+                                   jnp.asarray(a_2))
         else:
-            self.h1_sq, h2 = self._setup_sharded(a_1, a_2)
-        self.h1_sq.block_until_ready()
-        self._install_h1_planes()
+            h1_sq_dev, h2 = self._setup_sharded(a_1, a_2)
+        h1_sq_dev.block_until_ready()
+        self._install_h1_planes(h1_sq_dev)
+        del h1_sq_dev  # the planes are the serving layout; ~0.5 GB of HBM
+        self._h1_sq_host = None  # reconstructed lazily on first .h1_sq read
         self._install_a2(a_2)
         return [np.asarray(h2)]
 
-    def _install_h1_planes(self) -> None:
+    @property
+    def h1_sq(self):
+        """Squished H1 (the persistence/wire format). The serving path only
+        reads the (lo, hi) int8 digit planes, so the device h1_sq buffer is
+        dropped right after plane derivation (~0.5 GB of HBM next to the
+        8.6 GB production DB); persistence reads reconstruct it from the
+        planes on device (digit = lo + (hi<<7); repack 3x10 bits/u32) and
+        fetch once, cached here."""
+        if self._h1_sq_host is None and self.h1_lo is not None:
+            rows = self.h1_lo.shape[0]
+
+            def repack(lo, hi):
+                d = (lo.astype(jnp.uint32)
+                     + (hi.astype(jnp.uint32) << jnp.uint32(7)))
+                d = d.reshape(rows, -1, SQUISH_DELTA)
+                return sum((d[:, :, k] << jnp.uint32(SQUISH_BASIS * k))
+                           for k in range(SQUISH_DELTA))
+
+            self._h1_sq_host = np.asarray(
+                jax.jit(repack)(self.h1_lo, self.h1_hi))
+        return self._h1_sq_host
+
+    def _install_h1_planes(self, h1_sq_dev) -> None:
         """Derive the (lo, hi) int8 digit planes of H1 from the squished
         form (the persistence/wire format stays h1_sq; the planes are the
         answer path's serving layout)."""
         if self.mesh is None:
-            self.h1_lo, self.h1_hi = jax.jit(_unsquish_limbs)(self.h1_sq)
+            self.h1_lo, self.h1_hi = jax.jit(_unsquish_limbs)(h1_sq_dev)
         else:
             from jax.sharding import PartitionSpec as P
 
@@ -247,15 +275,25 @@ class ChecklistServerJax:
                            in_specs=(P(None, "db"),),
                            out_specs=(P(None, "db"), P(None, "db")),
                            check_rep=False)
-            self.h1_lo, self.h1_hi = jax.jit(fn)(self.h1_sq)
+            self.h1_lo, self.h1_hi = jax.jit(fn)(h1_sq_dev)
         self.h1_lo.block_until_ready()
 
-    def _install_a2(self, a_2: np.ndarray) -> None:
+    def _install_a2(self, a_2) -> None:
+        is_np = isinstance(a_2, np.ndarray)
         a2c = a_2
         if a2c.shape[0] % SQUISH_DELTA != 0:
             padr = SQUISH_DELTA - (a2c.shape[0] % SQUISH_DELTA)
-            a2c = np.vstack([a2c, np.zeros((padr, a2c.shape[1]), dtype=U32)])
-        self.a_2_t = np.ascontiguousarray(a2c.T)
+            if is_np:
+                a2c = np.vstack([a2c,
+                                 np.zeros((padr, a2c.shape[1]), dtype=U32)])
+            else:
+                a2c = jnp.concatenate(
+                    [a2c, jnp.zeros((padr, a2c.shape[1]), dtype=jnp.uint32)])
+        # a_2_t is the HOST answer glue's operand (scheme.answer reads it);
+        # the device serving path only touches _a2_pad_dev. When setup ran
+        # with a device-resident A2 (bench/synthetic paths), fetching it
+        # back would move ~0.4 GB for an array nothing reads — skip it.
+        self.a_2_t = np.ascontiguousarray(a2c.T) if is_np else None
         # row-padded A2 stays on device: msg[0] = unsquish(a_1t) @ A2 is a
         # (delta*x, l) x (l, n) matmul — milliseconds on the MXU, seconds
         # in host numpy at the production l
@@ -270,13 +308,16 @@ class ChecklistServerJax:
         flow, lib/doublepir/src/bin/preprocess.rs)."""
         import jax.sharding as jsh
 
+        h1_host = np.asarray(h1_sq, dtype=np.uint32)
         if self.mesh is None:
-            self.h1_sq = jnp.asarray(np.asarray(h1_sq, dtype=np.uint32))
+            h1_dev = jnp.asarray(h1_host)
         else:
-            self.h1_sq = jax.device_put(
-                jnp.asarray(np.asarray(h1_sq, dtype=np.uint32)),
+            h1_dev = jax.device_put(
+                jnp.asarray(h1_host),
                 jsh.NamedSharding(self.mesh, jsh.PartitionSpec(None, "db")))
-        self._install_h1_planes()
+        self._install_h1_planes(h1_dev)
+        del h1_dev  # planes are the serving layout; host copy persists
+        self._h1_sq_host = h1_host
         self._install_a2(a_2)
 
     def _setup_sharded(self, a_1: np.ndarray, a_2: np.ndarray):
@@ -424,7 +465,15 @@ class ChecklistServerJax:
             jnp.asarray(q1_all), q2_dev, self._batch_index(nq))
         msg: list[np.ndarray] = [np.asarray(msg0)]
         a_2_np, h_2_np = np.asarray(a_2_all), np.asarray(h_2_all)
+        # same named fingerprints as the host scheme (scheme.answer) and
+        # the TS client — a Python/TS/device divergence localizes to the
+        # first differing name (reference matrix.rs:176-196 pattern)
+        from .debug import print_checksum
+
+        print_checksum("h1", msg[0])
         for k in range(nq):
             msg.append(np.ascontiguousarray(a_2_np[:, k : k + 1]))
             msg.append(np.ascontiguousarray(h_2_np[:, k : k + 1]))
+            print_checksum("a_2", msg[-2])
+            print_checksum("h_2", msg[-1])
         return msg

@@ -104,6 +104,9 @@ class SpiralServerJax:
         from .encode_jax import ResponseEncodePlan
 
         self._encode_plan = ResponseEncodePlan(params)
+        # pad batched reads to power-of-two NQ (bounds jit retraces to
+        # log2(NQ_max) programs; see dispatch_queries_batched)
+        self.batch_pad_pow2 = True
         self._jit_expand = jax.jit(self._expand_impl)
         if mesh is not None:
             from .shard import ShardedSpiralScan
@@ -453,24 +456,23 @@ class SpiralServerJax:
         inter = sj.firstdim_multiply_qT(params, db, q_t)
         # (crt, z, inst, trials, num_per, 2*NQ)
         inst, trials = inter.shape[2], inter.shape[3]
-        outs_h, outs_l = [], []
-        for i in range(nq):
-            v_folding = v_foldings[i]
-            v_folding_neg = sj.get_v_folding_neg(params, v_folding,
-                                                 self.gadget_ntt_u32)
-            part = inter[..., 2 * i : 2 * i + 2]
-            cts = jnp.transpose(part, (2, 3, 4, 5, 0, 1))
-            cts = cts.reshape((inst * trials,) + cts.shape[2:])[
-                :, :, :, None, :, :]
-            hi, lo = sj.from_ntt(params, cts)
-            h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
-                                       v_folding_neg)
-            outs_h.append(h)
-            outs_l.append(l)
-        hi = jnp.stack(outs_h)                      # (NQ, IT, 2, 1, z)
-        lo = jnp.stack(outs_l)
-        shape = (nq, inst, trials) + hi.shape[2:]
-        return hi.reshape(shape), lo.reshape(shape)
+        num_per = inter.shape[4]
+        # ALL queries fold in one batched program: v_foldings' leading NQ
+        # axis rides fold_ciphertexts' per-query batch support, so each
+        # round is ONE digit NTT + ONE matmul + ONE iNTT for the whole
+        # batch. Measured at NQ=16 on v5e (tools/profile_fold.py --batch):
+        # steady-state ties the per-query loop (583 vs 587 ms — the fold is
+        # VPU-bound and linear in NQ) but COMPILES 20x faster (38 s vs
+        # 750 s), which is what bounds cold-start for new batch sizes.
+        v_negs = sj.get_v_folding_neg(params, v_foldings,
+                                      self.gadget_ntt_u32)
+        part = inter.reshape(inter.shape[:5] + (nq, 2))
+        cts = jnp.transpose(part, (5, 2, 3, 4, 6, 0, 1))
+        cts = cts.reshape(nq, inst * trials, num_per, 2, 1, crt, z)
+        hi, lo = sj.from_ntt(params, cts)
+        h, l = sj.fold_ciphertexts(params, hi, lo, v_foldings, v_negs)
+        shape = (nq, inst, trials) + h.shape[2:]
+        return h.reshape(shape), l.reshape(shape)
 
     def process_queries_batched(self, requests: list) -> list[bytes]:
         """requests: list of (pp_dev_or_pp, query). One fused DB scan."""
@@ -503,6 +505,19 @@ class SpiralServerJax:
             # staged / sharded / CLIENT_TEST paths block internally
             res = [self.process_query(pp, query)]
             return lambda: res
+
+        # Bound the retrace surface: each distinct batch size NQ compiles
+        # (and persists) its own program, and cold compiles run minutes on
+        # this stack — a live mix of arbitrary batch sizes would stall on
+        # every new NQ. Pad to the next power of two with repeats of
+        # request 0 (the DoublePIR reference plants random filler indices
+        # the same way, client.rs:174-213); filler responses are sliced
+        # off before returning. At most log2(NQ_max) programs ever compile.
+        n_real = len(requests)
+        if self.batch_pad_pow2:
+            pad_n = 1 << (n_real - 1).bit_length()
+            if pad_n != n_real:
+                requests = list(requests) + [requests[0]] * (pad_n - n_real)
 
         def stack_key(pps, key):
             return jax.tree.map(lambda *xs: jnp.stack(xs),
@@ -543,7 +558,7 @@ class SpiralServerJax:
             def fetch():
                 host = np.asarray(words_all)   # one device->host transfer
                 return [self._encode_plan.to_bytes(host[i])
-                        for i in range(len(requests))]
+                        for i in range(n_real)]
 
             return fetch
         sharded = self._sharded is not None
@@ -583,7 +598,7 @@ class SpiralServerJax:
         def fetch():
             host = np.asarray(words_all)       # one device->host transfer
             return [self._encode_plan.to_bytes(host[i])
-                    for i in range(len(pps))]
+                    for i in range(n_real)]
 
         return fetch
 

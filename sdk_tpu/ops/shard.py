@@ -152,24 +152,18 @@ class ShardedSpiralScan:
                 psum_mod(partial[c], q, "db")
                 for c, q in enumerate(params.moduli)])
             inst, t_local = full.shape[2], full.shape[3]
-            outs_h, outs_l = [], []
-            for i in range(nq):
-                v_folding = v_foldings[i]
-                v_folding_neg = sj.get_v_folding_neg(
-                    params, v_folding, self.gadget_ntt_u32)
-                part = full[..., 2 * i : 2 * i + 2]
-                cts = jnp.transpose(part, (2, 3, 4, 5, 0, 1))
-                cts = cts.reshape((inst * t_local,) + cts.shape[2:])[
-                    :, :, :, None, :, :]
-                hi, lo = sj.from_ntt(params, cts)
-                h, l = sj.fold_ciphertexts(params, hi, lo, v_folding,
-                                           v_folding_neg)
-                outs_h.append(h)
-                outs_l.append(l)
-            hi = jnp.stack(outs_h)                  # (NQ, IT_local, 2, 1, z)
-            lo = jnp.stack(outs_l)
-            shape = (nq, inst, t_local) + hi.shape[2:]
-            return hi.reshape(shape), lo.reshape(shape)
+            num_per = full.shape[4]
+            # cross-query batched fold (see server_jax._scan_fold_batched_impl)
+            v_negs = sj.get_v_folding_neg(params, v_foldings,
+                                          self.gadget_ntt_u32)
+            part = full.reshape(full.shape[:5] + (nq, 2))
+            cts = jnp.transpose(part, (5, 2, 3, 4, 6, 0, 1))
+            cts = cts.reshape(nq, inst * t_local, num_per, 2, 1,
+                              params.crt_count, params.poly_len)
+            hi, lo = sj.from_ntt(params, cts)
+            h, l = sj.fold_ciphertexts(params, hi, lo, v_foldings, v_negs)
+            shape = (nq, inst, t_local) + h.shape[2:]
+            return h.reshape(shape), l.reshape(shape)
 
         self.scan_fold_batched = jax.jit(scan_fold_batched)
 

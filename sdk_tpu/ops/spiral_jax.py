@@ -113,6 +113,9 @@ def matmul_mod(params: Params, a, b):
     floor(w * 2^32 / q_c) (prepared in server_jax.pp_to_device), which
     replaces the generic 64-bit mulmod with one mulhi per term.
     b: (..., k, cb, crt, n) with optional leading batch dims.
+    `a` may also carry leading batch dims of its own (ndim > 4); they align
+    with the FIRST dims of b's batch (per-query key material in the batched
+    fold: a (NQ, ra, k, crt, n) against b (NQ, IT, npr, k, cb, crt, n)).
     Returns (..., ra, cb, crt, n), canonical in [0, q_c).
     """
     from .modops import shoup_mulmod_var_lazy
@@ -121,21 +124,23 @@ def matmul_mod(params: Params, a, b):
     if isinstance(a, tuple):
         a, a_shoup = a
     batch = b.shape[:-4]
-    ra, k = a.shape[0], a.shape[1]
+    ab = a.ndim - 4                             # leading batch dims of a
+    assert a.shape[:ab] == batch[:ab]
+    ra, k = a.shape[ab], a.shape[ab + 1]
     cb = b.shape[-3]
     out_ch = []
     for c, q in enumerate(params.moduli):
-        ac = a[..., c, :]                       # (ra, k, n)
+        ac = a[..., c, :]                       # (*abatch, ra, k, n)
         bc = b[..., c, :]                       # (..., k, cb, n)
         shape = batch + (ra, k, cb, ac.shape[-1])
-        ax = jnp.broadcast_to(
-            ac.reshape((1,) * len(batch) + (ra, k, 1, ac.shape[-1])), shape)
+        a_bshape = batch[:ab] + (1,) * (len(batch) - ab) \
+            + (ra, k, 1, ac.shape[-1])
+        ax = jnp.broadcast_to(ac.reshape(a_bshape), shape)
         bx = jnp.broadcast_to(
             bc.reshape(batch + (1, k, cb, bc.shape[-1])), shape)
         if a_shoup is not None:
             sx = jnp.broadcast_to(
-                a_shoup[..., c, :].reshape(
-                    (1,) * len(batch) + (ra, k, 1, ac.shape[-1])), shape)
+                a_shoup[..., c, :].reshape(a_bshape), shape)
             t = cond_sub_q(shoup_mulmod_var_lazy(bx, ax, sx, q), q)
         else:
             t = mulmod(ax, bx, q)
@@ -730,6 +735,17 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
     trials fold jointly so the NTT chunker sees the full batch); GSW-driven
     binary fold, returns (..., 2, 1, n) raw pairs.
 
+    v_folding may carry leading PER-QUERY batch dims of its own (ndim > 5,
+    e.g. (NQ, dim2, 2, ell, crt, n) against cts (NQ, IT, num_per, 2, 1, n)):
+    the batched serving path folds all NQ queries' cts in ONE program —
+    one digit NTT, one matmul, one iNTT per round for the whole batch —
+    instead of NQ serialized per-query subprograms. Steady-state ties the
+    loop at NQ=16 on v5e (the fold is VPU-bound, linear in NQ) but traces/
+    compiles 20x faster (38 s vs 750 s, tools/profile_fold.py --batch).
+    The per-query key dims align with cts' FIRST leading dims; results are
+    bit-exact vs per-query folds (every op is exact mod q, per-query
+    operation order unchanged).
+
     Implements the reference's sparse-DB all-zero shortcut (lib/server
     fold.rs:37-44, "crucial for correctness") as vectorized masks: a round's
     output slot takes b verbatim when a is exactly zero (absent row) and a
@@ -740,6 +756,7 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
     run dense (no dynamic shapes under jit)."""
     further_dims = params.db_dim_2
     num_per = cts_hi.shape[-4]
+    vb = v_folding.ndim - 5                 # leading per-query batch dims
     if num_per == 1:
         return cts_hi[..., 0, :, :, :], cts_lo[..., 0, :, :, :]
     ell = 2 * params.t_gsw
@@ -762,8 +779,9 @@ def fold_ciphertexts(params: Params, cts_hi, cts_lo, v_folding, v_folding_neg):
         g_ntt = to_ntt_no_reduce(
             params, jnp.concatenate([ginv_a, ginv_b], axis=-3))
         key = further_dims - 1 - cur_dim
+        sel = (slice(None),) * vb + (key,)
         v_cat = jnp.concatenate(
-            [v_folding_neg[key], v_folding[key]], axis=1)
+            [v_folding_neg[sel], v_folding[sel]], axis=vb + 1)
         f_hi, f_lo = from_ntt(params, matmul_mod(params, v_cat, g_ntt))
         za = za[..., None, None, None]
         zb = zb[..., None, None, None]

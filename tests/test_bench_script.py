@@ -31,6 +31,13 @@ def test_bench_tiny_emits_every_metric():
              if ln.strip().startswith("{")]
     got = {ln["metric"] for ln in lines}
     assert got == EXPECTED, (got, out.stderr[-2000:])
+    core = {"metric", "value", "unit", "vs_baseline"}
     for ln in lines:
-        assert set(ln) == {"metric", "value", "unit", "vs_baseline"}, ln
+        assert core <= set(ln), ln
+        # throughput metrics dual-report (frozen in round 4): per_pass is
+        # one DB pass, aggregate = per_pass x batch
+        extra = set(ln) - core
+        assert extra <= {"per_pass_gbps", "aggregate_gbps"}, ln
+        if ln["unit"] == "GB/s":
+            assert extra == {"per_pass_gbps", "aggregate_gbps"}, ln
         assert isinstance(ln["value"], (int, float)), ln

@@ -211,7 +211,21 @@ def main() -> None:
                             dparams, info)
     assert got == int(bits[target]), (got, int(bits[target]))
 
+    from sdk_tpu.doublepir.debug import checksum_u32
+
     w("doublepir.json", {
+        # the same named XOR fingerprints sdk_tpu.doublepir.debug /
+        # js/src/doublepir/debug.ts print (reference matrix.rs:176-196):
+        # the TS suite recomputes them from the deserialized fixture
+        # matrices — any Python/TS state divergence flips a checksum
+        "checksums": {
+            "query1": checksum_u32(msg[0]),
+            "query2": checksum_u32(msg[1]),
+            "hint_h2": checksum_u32(hint[0]),
+            "answer_h1": checksum_u32(answer[0]),
+            "answer_a2": checksum_u32(answer[1]),
+            "answer_h2": checksum_u32(answer[2]),
+        },
         "derive_seed1_first128_hex": deriv.hex(),
         "derive_matvec": {
             "rows": dparams.m, "cols": dparams.n,
