@@ -75,10 +75,13 @@ def _emit(obj: dict) -> None:
     print(json.dumps(obj), flush=True)
 
 
-def _scan_operands(params, R: int):
+def _scan_operands(params, R: int, layout: str = "latency"):
     """Generate a random encrypted index + query batch ON DEVICE (uploading
     multi-GB arrays through the axon tunnel is slow); values uniform in
-    [0, q_c), decomposed into the int8 limb-plane serving format."""
+    [0, q_c), decomposed into the int8 limb serving format of the given
+    dense layout (ops/server_jax.db_tensor_to_device): "latency" planes for
+    the single-query metric, "throughput" limb-concat channels for the
+    batched one — each metric measures its serving profile's layout."""
     import jax
     import jax.numpy as jnp
 
@@ -98,14 +101,17 @@ def _scan_operands(params, R: int):
                 jax.random.fold_in(k1, c),
                 (params.poly_len, 1, trials, num_per, dim0),
                 0, q, dtype=jnp.uint32)
-            for k in range(sj.NUM_LIMBS):
-                planes.append(
-                    ((u32 >> jnp.uint32(7 * k)) & jnp.uint32(127))
-                    .astype(jnp.int8))
+            limbs = [((u32 >> jnp.uint32(7 * k)) & jnp.uint32(127))
+                     .astype(jnp.int8) for k in range(sj.NUM_LIMBS)]
+            if layout == "throughput":
+                planes.append(jnp.stack(limbs, axis=-2))
+            else:
+                planes.extend(limbs)
             chans_q.append(jax.random.randint(
                 jax.random.fold_in(k2, c), (params.poly_len, dim0, R),
                 0, q, dtype=jnp.uint32))
-        # tuple of crt*L planes (z, inst=1, trials, num_per, dim0) int8
+        # tuple of crt*L planes (z, inst=1, trials, num_per, dim0) int8, or
+        # crt channels (z, 1, trials, num_per, L, dim0) for throughput
         return tuple(planes), jnp.stack(chans_q, axis=0)
 
     db_dev, q_dev = gen()
@@ -122,8 +128,12 @@ def bench_scan_batch16() -> dict:
     from sdk_tpu.ops import spiral_jax as sj
 
     # Production-shaped scan: dim0=512, num_per=64 (nu_1=9, nu_2=6), n=2.
+    # Throughput dense layout (the batched serving profile): one weight-
+    # grouped GEMM per channel, 1.6x the plane layout at NQ=16 (round 4,
+    # tools/profile_scan_r32.py).
     params = params_from_json(SPIRAL_SCAN_CFG)
-    db_dev, q_dev, db_bytes = _scan_operands(params, 2 * NUM_QUERIES)
+    db_dev, q_dev, db_bytes = _scan_operands(params, 2 * NUM_QUERIES,
+                                             layout="throughput")
 
     @jax.jit
     def scan(db, q_arr):
@@ -304,7 +314,9 @@ def bench_spiral_batch16_protocol() -> dict:
         params = get_fast_expansion_testing_params()
     else:
         params = get_params_from_store(15, 32768)
-    srv = SpiralKvServer(params)
+    # throughput serving profile: the limb-concat dense layout's batched
+    # scan is 1.6x the latency layout's at NQ=16 (round 4)
+    srv = SpiralKvServer(params, dense_layout="throughput")
     srv.dense_migrate_fill = -1.0
     value = b"\x5a" * 64 if TINY else bytes(range(256)) * 64
     srv.write_kv(json.dumps(

@@ -158,14 +158,15 @@ def compact_grow(db, new_cap: int):
     return CompactDb(planes, idx_j)
 
 
-def compact_to_dense(params: Params, db):
+def compact_to_dense(params: Params, db, layout: str = "latency"):
     """Device-side migration: scatter-ADD the compact columns onto a dense
-    zero tensor (adds from unoccupied slots are zeros — harmless no-ops, so
-    no occupancy mask is needed)."""
+    zero tensor in the requested dense layout (adds from unoccupied slots
+    are zeros — harmless no-ops, so no occupancy mask is needed)."""
     import jax
     import jax.numpy as jnp
 
     from ..ops.server_jax import db_zeros_device
+    from ..ops.spiral_jax import NUM_LIMBS
 
     num_per, cap = db.idx_j.shape
     bins = jnp.broadcast_to(jnp.arange(num_per, dtype=jnp.int32)[:, None],
@@ -173,7 +174,15 @@ def compact_to_dense(params: Params, db):
 
     @jax.jit
     def mig(planes_c, idx_j):
-        dense = db_zeros_device(params)
+        dense = db_zeros_device(params, layout)
+        if layout == "throughput":
+            out = []
+            for c, ch in enumerate(dense):
+                for k in range(NUM_LIMBS):
+                    ch = ch.at[:, :, :, bins, k, idx_j].add(
+                        planes_c[c * NUM_LIMBS + k])
+                out.append(ch)
+            return tuple(out)
         return tuple(d.at[:, :, :, bins, idx_j].add(p)
                      for d, p in zip(dense, planes_c))
 
@@ -294,11 +303,24 @@ class DbUpdateBuffer:
         # donate the DB buffers: the scatter must not hold two copies of a
         # multi-GB index in HBM (the caller immediately replaces its ref)
         if self._jit_scatter is None:
-            self._jit_scatter = jax.jit(
-                lambda planes, v, i1, j1: tuple(
-                    p.at[:, :, :, i1, j1].set(vc)
-                    for p, vc in zip(planes, v)),
-                donate_argnums=0)
+            from ..ops.spiral_jax import NUM_LIMBS
+
+            def scatter(arrs, v, i1, j1):
+                if arrs[0].ndim == 6:
+                    # throughput layout: crt channels (z,a,t,npr,L,dim0) —
+                    # one scatter per (channel, limb), same count as the
+                    # per-plane layout below
+                    out = []
+                    for c, ch in enumerate(arrs):
+                        for k in range(NUM_LIMBS):
+                            ch = ch.at[:, :, :, i1, k, j1].set(
+                                v[c * NUM_LIMBS + k])
+                        out.append(ch)
+                    return tuple(out)
+                return tuple(p.at[:, :, :, i1, j1].set(vc)
+                             for p, vc in zip(arrs, v))
+
+            self._jit_scatter = jax.jit(scatter, donate_argnums=0)
         db = self._jit_scatter(db, plane_vals, jnp.asarray(ii),
                                jnp.asarray(jj))
         self.pending.clear()

@@ -37,34 +37,55 @@ def _join_pair_np(hi: np.ndarray, lo: np.ndarray):
     return (hi.astype(U64) << U64(32)) | lo.astype(U64)
 
 
-def db_tensor_to_device(params: Params, db_host: np.ndarray):
+def db_tensor_to_device(params: Params, db_host: np.ndarray,
+                        layout: str = "latency"):
     """Host DB tensor (inst, trials, poly_len, crt, num_per, dim0) u64 ->
-    device limb planes: a tuple of crt*NUM_LIMBS int8 arrays, each
-    (z, inst, trials, num_per, dim0); plane c*NUM_LIMBS+k = limb k of CRT
-    channel c.
+    device int8 limb storage in one of two DENSE layouts (both the same
+    total bytes; both scans bit-exact — sj.firstdim_multiply dispatches on
+    array rank):
 
-    The limb decompose happens host-side so only the final int8 planes
+    - "latency" (default): a tuple of crt*NUM_LIMBS SEPARATE plane arrays,
+      each (z, inst, trials, num_per, dim0); plane c*NUM_LIMBS+k = limb k
+      of CRT channel c. Fastest single-query scan (13.5 ms on the 8.6 GB
+      index); separate arrays because slicing planes out of one stacked
+      device tensor made XLA re-copy the plane per scan.
+    - "throughput": a tuple of crt channel arrays
+      (z, inst, trials, num_per, NUM_LIMBS, dim0) — the limb-CONCATENATED
+      row layout. The batched scan runs as ONE weight-grouped GEMM per
+      channel (sj._firstdim_multiply_kconcat): 1.6x faster at the
+      16-query batch (49.4 -> 30.3 ms), ~10% slower single-query.
+
+    The limb decompose happens host-side so only the final int8 arrays
     (same total bytes as the u32 residues) are resident in HBM — a
-    device-side decompose would briefly double the multi-GB index. The
-    planes are SEPARATE arrays, not one stacked tensor: slicing planes out
-    of a stacked device tensor made XLA re-copy the plane per scan
-    (see sj.firstdim_multiply)."""
+    device-side decompose would briefly double the multi-GB index."""
     # (crt, z, inst, trials, num_per, dim0) u32
     u32 = np.ascontiguousarray(
         db_host.transpose(3, 2, 0, 1, 4, 5)).astype(np.uint32)
+    if layout == "throughput":
+        return tuple(
+            jnp.asarray(np.stack(
+                [((u32[c] >> np.uint32(sj.LIMB_BITS * k))
+                  & np.uint32(127)).astype(np.int8)
+                 for k in range(sj.NUM_LIMBS)], axis=-2))
+            for c in range(params.crt_count))
+    assert layout == "latency", layout
     return tuple(
         jnp.asarray(((u32[c] >> np.uint32(sj.LIMB_BITS * k))
                      & np.uint32(127)).astype(np.int8))
         for c in range(params.crt_count) for k in range(sj.NUM_LIMBS))
 
 
-def db_zeros_device(params: Params):
-    """Empty device DB in the limb-plane storage layout."""
+def db_zeros_device(params: Params, layout: str = "latency"):
+    """Empty device DB in the given dense storage layout
+    (see db_tensor_to_device)."""
     dim0 = 1 << params.db_dim_1
     num_per = 1 << params.db_dim_2
-    shape = (params.poly_len, params.instances, params.n * params.n,
-             num_per, dim0)
-    return tuple(jnp.zeros(shape, dtype=jnp.int8)
+    base = (params.poly_len, params.instances, params.n * params.n, num_per)
+    if layout == "throughput":
+        return tuple(jnp.zeros(base + (sj.NUM_LIMBS, dim0), dtype=jnp.int8)
+                     for _ in range(params.crt_count))
+    assert layout == "latency", layout
+    return tuple(jnp.zeros(base + (dim0,), dtype=jnp.int8)
                  for _ in range(params.crt_count * sj.NUM_LIMBS))
 
 
@@ -92,8 +113,14 @@ class SpiralServerJax:
     partial-response reduction, instances*trials over "dp"
     (sdk_tpu.ops.shard)."""
 
-    def __init__(self, params: Params, mesh=None):
+    def __init__(self, params: Params, mesh=None,
+                 dense_layout: str = "latency"):
+        assert dense_layout in ("latency", "throughput"), dense_layout
         self.params = params
+        # dense DB storage profile (see db_tensor_to_device): "latency" =
+        # separate limb planes (fastest single query), "throughput" =
+        # limb-concat channels (1.6x faster batched scans)
+        self.dense_layout = dense_layout
         self.plan = sj.ExpansionPlan(params) if params.expand_queries else None
         self._splan = None
         self._splan_dev = None
@@ -111,7 +138,9 @@ class SpiralServerJax:
         if mesh is not None:
             from .shard import ShardedSpiralScan
 
-            self._sharded = ShardedSpiralScan(params, mesh, self.gadget_ntt_u32)
+            self._sharded = ShardedSpiralScan(params, mesh,
+                                              self.gadget_ntt_u32,
+                                              dense_layout)
             self._jit_scan_fold = self._sharded.scan_fold
         else:
             self._sharded = None
@@ -127,7 +156,8 @@ class SpiralServerJax:
         self.set_db_host_tensor(build_db_tensor(self.params, items))
 
     def set_db_host_tensor(self, db_host: np.ndarray):
-        self.db = db_tensor_to_device(self.params, db_host)
+        self.db = db_tensor_to_device(self.params, db_host,
+                                      self.dense_layout)
         if self._sharded is not None:
             self.db = self._sharded.shard_db(self.db)
 

@@ -92,15 +92,26 @@ def mesh_from_spec(spec: str) -> Mesh:
 class ShardedSpiralScan:
     """Sharded scan+fold step builder for a SpiralServerJax-compatible state."""
 
-    def __init__(self, params: Params, mesh: Mesh, gadget_ntt_u32: np.ndarray):
+    def __init__(self, params: Params, mesh: Mesh, gadget_ntt_u32: np.ndarray,
+                 dense_layout: str = "latency"):
         self.params = params
         self.mesh = mesh
         self.gadget_ntt_u32 = gadget_ntt_u32
+        self.dense_layout = dense_layout
 
-        # limb planes: tuple of crt*L arrays (z, inst, trials, num_per, dim0)
-        plane_spec = P(None, None, "dp", None, "db")
-        db_spec = tuple(plane_spec
-                        for _ in range(params.crt_count * sj.NUM_LIMBS))
+        # dim0 (the scan contraction) shards over "db" in BOTH dense
+        # layouts — it is the last axis of each array either way, so every
+        # local shard is itself a valid layout and the exact mod-q psum
+        # below is unchanged (see server_jax.db_tensor_to_device)
+        if dense_layout == "throughput":
+            # tuple of crt channels (z, inst, trials, num_per, L, dim0)
+            plane_spec = P(None, None, "dp", None, None, "db")
+            db_spec = tuple(plane_spec for _ in range(params.crt_count))
+        else:
+            # tuple of crt*L planes (z, inst, trials, num_per, dim0)
+            plane_spec = P(None, None, "dp", None, "db")
+            db_spec = tuple(plane_spec
+                            for _ in range(params.crt_count * sj.NUM_LIMBS))
         q_spec = P(None, None, "db", None)
         fold_spec = P()  # replicated (small)
         out_spec = (P(None, "dp"), P(None, "dp"))
@@ -168,9 +179,12 @@ class ShardedSpiralScan:
         self.scan_fold_batched = jax.jit(scan_fold_batched)
 
     def shard_db(self, db):
-        """Place the tuple of limb planes (z, inst, trials, num_per, dim0)
-        onto the mesh with the scan sharding."""
-        spec = P(None, None, "dp", None, "db")
+        """Place the dense DB arrays onto the mesh with the scan sharding
+        (dim0 over "db", trials over "dp" — either dense layout)."""
+        if db[0].ndim == 6:
+            spec = P(None, None, "dp", None, None, "db")
+        else:
+            spec = P(None, None, "dp", None, "db")
         sh = jax.sharding.NamedSharding(self.mesh, spec)
         return tuple(jax.device_put(p, sh) for p in db)
 

@@ -352,6 +352,71 @@ def _firstdim_multiply_compact(params: Params, db: CompactDb, q_arr,
     return jnp.stack(out_ch, axis=0)                     # (crt,z,a,t,npr,R)
 
 
+def _combine_weight_groups(zs, R: int, q: int):
+    """Epilogue of the kconcat scan GEMM: its output columns arrive already
+    weight-grouped (block s = the exact int32 sum over all k+l=s limb
+    pairs), so recombination is one Shoup multiply per weight — no
+    cross-GEMM regrouping traffic. Lazy sum < 14q < 2^32."""
+    acc = None
+    for s in range(2 * NUM_LIMBS - 1):
+        p = zs[..., s * R : (s + 1) * R].astype(U32)
+        term = shoup_mulmod_lazy(p, (1 << (LIMB_BITS * s)) % q, q)
+        acc = term if acc is None else acc + term
+    return reduce_u32_mod_q(acc, q)
+
+
+def _firstdim_multiply_kconcat(params: Params, db_chans, q_arr,
+                               q_transposed: bool):
+    """Dense scan over the THROUGHPUT dense layout: per CRT channel one
+    int8 array (z, inst, trials, num_per, NUM_LIMBS, dim0) — byte-wise the
+    limb-CONCATENATED row layout (limb k of column j at flat position
+    k*dim0+j), so reshaping to (Z, M, L*dim0) is free and the whole scan is
+    ONE GEMM per channel against a weight-grouped query operand: weight-s
+    columns of limb-block k carry query limb s-k (zero outside range), so
+    the GEMM's K-reduction itself sums every k+l=s pair and the int32
+    output is W*R = (2L-1)*R columns instead of the L*R-per-limb-GEMM
+    (4x L*R total) of the latency layout — at R=32 that un-fuseable int32
+    output traffic dominates and this form wins 49.4 -> 30.3 ms on the
+    8.6 GB index (tools/profile_scan_r32.py, v5e). At R=2 it LOSES
+    13.5 -> 14.8 ms, which is why the latency layout remains the default
+    (see firstdim_multiply). int32 exact: <= L*dim0 products of 127*127
+    (127*127*2048 < 2^31).
+
+    q_arr: (crt, z, dim0, R) u32, or (crt, z, R, dim0) when q_transposed
+    (both orientations measure equal: 14.81/14.86 ms at R=2, 30.3/31.65 at
+    R=32 incl. the transposed path's one-time query transpose)."""
+    Z, inst, trials, npr, L, dim0 = db_chans[0].shape
+    M = inst * trials * npr
+    R = q_arr.shape[-2] if q_transposed else q_arr.shape[-1]
+    W = 2 * NUM_LIMBS - 1
+    out_ch = []
+    for c, q in enumerate(params.moduli):
+        qc = q_arr[c]
+        if q_transposed:
+            q_limbs = _to_limbs_i8(qc)              # L x (z, R, dim0)
+            zero = jnp.zeros_like(q_limbs[0])
+            rows = [jnp.concatenate(
+                [q_limbs[s - k] if 0 <= s - k < NUM_LIMBS else zero
+                 for k in range(NUM_LIMBS)], axis=-1) for s in range(W)]
+            qq = jnp.concatenate(rows, axis=-2)     # (z, W*R, L*dim0)
+            zs = jnp.einsum("zij,zrj->zir",
+                            db_chans[c].reshape(Z, M, L * dim0), qq,
+                            preferred_element_type=jnp.int32)
+        else:
+            q_limbs = _to_limbs_i8(qc)              # L x (z, dim0, R)
+            zero = jnp.zeros_like(q_limbs[0])
+            blocks = [jnp.concatenate(
+                [q_limbs[s - k] if 0 <= s - k < NUM_LIMBS else zero
+                 for s in range(W)], axis=-1) for k in range(NUM_LIMBS)]
+            qq = jnp.concatenate(blocks, axis=-2)   # (z, L*dim0, W*R)
+            zs = jnp.einsum("zij,zjr->zir",
+                            db_chans[c].reshape(Z, M, L * dim0), qq,
+                            preferred_element_type=jnp.int32)
+        acc = _combine_weight_groups(zs, R, q)
+        out_ch.append(acc.reshape(Z, inst, trials, npr, R))
+    return jnp.stack(out_ch, axis=0)
+
+
 def firstdim_multiply(params: Params, db_planes, q_arr):
     """Encrypted-query x DB matvec (reference compute/dot_product.rs).
 
@@ -377,10 +442,16 @@ def firstdim_multiply(params: Params, db_planes, q_arr):
     s=k+l (int32 sums < 2^27) and recombine with Shoup multiplications by
     (2^(7s) mod q), sum < 14q < 2^32.
 
-    A CompactDb db dispatches to the O(populated) compact scan.
+    A CompactDb db dispatches to the O(populated) compact scan; 6-D
+    channel arrays dispatch to the THROUGHPUT (limb-concat) dense layout
+    (_firstdim_multiply_kconcat — 1.6x faster at the 16-query batch,
+    ~10% slower single-query; SpiralServerJax dense_layout picks one).
     """
     if isinstance(db_planes, CompactDb):
         return _firstdim_multiply_compact(params, db_planes, q_arr)
+    if db_planes[0].ndim == 6:
+        return _firstdim_multiply_kconcat(params, db_planes, q_arr,
+                                          q_transposed=False)
     Z, inst, trials, npr, dim0 = db_planes[0].shape
     R = q_arr.shape[-1]
     IT = inst * trials
@@ -428,6 +499,9 @@ def firstdim_multiply_qT(params: Params, db_planes, q_t):
     so the limb recombination is shared."""
     if isinstance(db_planes, CompactDb):
         return _firstdim_multiply_compact(params, db_planes, q_t,
+                                          q_transposed=True)
+    if db_planes[0].ndim == 6:
+        return _firstdim_multiply_kconcat(params, db_planes, q_t,
                                           q_transposed=True)
     Z, inst, trials, npr, dim0 = db_planes[0].shape
     R = q_t.shape[-2]

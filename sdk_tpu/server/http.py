@@ -417,6 +417,7 @@ def main(argv: list[str]):
     warmup = bool(os.environ.get("SDK_TPU_WARMUP"))
     restore_dir = os.environ.get("SDK_TPU_RESTORE", "")
     save_dir = os.environ.get("SDK_TPU_SAVE_ON_EXIT", "")
+    dense_layout = os.environ.get("SDK_TPU_DENSE_LAYOUT", "latency")
     args = []
     i = 1
     while i < len(argv):
@@ -434,6 +435,11 @@ def main(argv: list[str]):
             i += 2
         elif argv[i] == "--save-on-exit":
             save_dir = argv[i + 1]
+            i += 2
+        elif argv[i] == "--dense-layout":
+            # serving profile: "latency" (default; fastest single query) or
+            # "throughput" (limb-concat storage, 1.6x faster batched scans)
+            dense_layout = argv[i + 1]
             i += 2
         else:
             args.append(argv[i])
@@ -464,7 +470,8 @@ def main(argv: list[str]):
 
         mesh = mesh_from_spec(mesh_spec)
         print(f"Serving over mesh {dict(mesh.shape)}", flush=True)
-    srv = SpiralKvServer(params, params_json, mesh=mesh)
+    srv = SpiralKvServer(params, params_json, mesh=mesh,
+                         dense_layout=dense_layout)
     if restore_dir:
         srv.restore_from_dir(restore_dir)
         print(f"Restored index from {restore_dir}", flush=True)

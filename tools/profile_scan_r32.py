@@ -39,7 +39,7 @@ INST = int(sys.argv[sys.argv.index("--inst") + 1]) if "--inst" in sys.argv else 
 R = int(sys.argv[sys.argv.index("--r") + 1]) if "--r" in sys.argv else 32
 FORMS = (sys.argv[sys.argv.index("--forms") + 1].split(",")
          if "--forms" in sys.argv else
-         ["ceiling", "current", "mchunk", "kconcat", "kfused"])
+         ["ceiling", "current", "mchunk", "kconcat", "kfused", "ksplit"])
 L = sj.NUM_LIMBS
 W = 2 * L - 1
 
@@ -212,6 +212,59 @@ def main():
     if "kconcat" in FORMS:
         t = timed(kconcat, (dbk, qa))
         print(f"kconcat  {t*1e3:7.2f} ms  ({nbytes/t/1e9:5.0f} GB/s)",
+              flush=True)
+
+    # --- kconcatT: kconcat with the query operand TRANSPOSED
+    # (z, W*R, L*dim0) — contraction over the minor axis of both operands.
+    # At small R the non-T operand (z, L*dim0, W*R) pads its minor dim
+    # W*R -> 128 (537 MB/channel of padding reads at R=2); the T form pads
+    # only W*R -> next multiple of 8 in the second-minor position ---
+    def kconcatT(d, q_arr, i):
+        acc0 = jnp.uint32(0)
+        for c, q in enumerate(params.moduli):
+            qc = jnp.transpose(q_arr[c] + i, (0, 2, 1))   # (z, R, dim0)
+            q_limbs = sj._to_limbs_i8(qc)                 # L x (z, R, dim0)
+            zero = jnp.zeros_like(q_limbs[0])
+            rows = [jnp.concatenate(
+                [q_limbs[s - k] if 0 <= s - k < L else zero
+                 for k in range(L)], axis=-1) for s in range(W)]
+            qq = jnp.concatenate(rows, axis=-2)           # (z, W*R, L*dim0)
+            zs = jnp.einsum("zij,zrj->zir", d[c], qq,
+                            preferred_element_type=jnp.int32)
+            acc = None
+            for s in range(W):
+                p = zs[..., s * R : (s + 1) * R].astype(jnp.uint32)
+                term = shoup_mulmod_lazy(p, (1 << (7 * s)) % q, q)
+                acc = term if acc is None else acc + term
+            acc = reduce_u32_mod_q(acc, q)
+            acc0 = acc0 + acc.sum(dtype=jnp.uint32)
+        return acc0
+
+    if "kconcatT" in FORMS:
+        t = timed(kconcatT, (dbk, qa))
+        print(f"kconcatT {t*1e3:7.2f} ms  ({nbytes/t/1e9:5.0f} GB/s)",
+              flush=True)
+
+    # --- ksplit: SAME kconcat layout, but a free reshape (Z,M,L*dim0) ->
+    # (Z,M,L,dim0) recovers the current form's L-GEMM arithmetic (limb as a
+    # free output axis => XLA lowers it as one GEMM with M'=M*L rows) — the
+    # small-R serving form on the concat layout ---
+    def ksplit(d, q_arr, i):
+        acc0 = jnp.uint32(0)
+        for c, q in enumerate(params.moduli):
+            q_limbs = sj._to_limbs_i8(q_arr[c] + i)
+            q_stack = jnp.concatenate(q_limbs, axis=-1)   # (z, dim0, L*R)
+            out = jnp.einsum("zmkj,zjr->zmkr",
+                             d[c].reshape(Z, M, L, dim0), q_stack,
+                             preferred_element_type=jnp.int32)
+            parts = [out[..., k, :] for k in range(L)]
+            comb = sj._combine_scan_parts(parts, R, q)
+            acc0 = acc0 + comb.sum(dtype=jnp.uint32)
+        return acc0
+
+    if "ksplit" in FORMS:
+        t = timed(ksplit, (dbk, qa))
+        print(f"ksplit   {t*1e3:7.2f} ms  ({nbytes/t/1e9:5.0f} GB/s)",
               flush=True)
 
     # --- kfused: kconcat with the epilogue as a pure elementwise+reduce
