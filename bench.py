@@ -128,12 +128,15 @@ def bench_scan_batch16() -> dict:
     from sdk_tpu.ops import spiral_jax as sj
 
     # Production-shaped scan: dim0=512, num_per=64 (nu_1=9, nu_2=6), n=2.
-    # Throughput dense layout (the batched serving profile): one weight-
-    # grouped GEMM per channel, 1.6x the plane layout at NQ=16 (round 4,
-    # tools/profile_scan_r32.py).
+    # Measured in the LATENCY (limb-plane) dense layout: at this metric's
+    # inst=1 / 2 GiB shape the throughput layout's weight-grouped query
+    # operand (~0.9 GB int8 at R=32) is ~44% of the DB traffic and LOSES
+    # (629 vs 695 GB/s agg, round 4) — its 1.6x win needs the operand
+    # amortized over a bigger index (inst=4 / 8.6 GB, where the protocol
+    # batch16 metric uses it). Also keeps this metric's definition frozen
+    # (latency layout since r1).
     params = params_from_json(SPIRAL_SCAN_CFG)
-    db_dev, q_dev, db_bytes = _scan_operands(params, 2 * NUM_QUERIES,
-                                             layout="throughput")
+    db_dev, q_dev, db_bytes = _scan_operands(params, 2 * NUM_QUERIES)
 
     @jax.jit
     def scan(db, q_arr):

@@ -134,6 +134,11 @@ class SpiralServerJax:
         # pad batched reads to power-of-two NQ (bounds jit retraces to
         # log2(NQ_max) programs; see dispatch_queries_batched)
         self.batch_pad_pow2 = True
+        # per-query stages of the fused batched read (expansion, fold,
+        # pack+encode) run in lax.map chunks of this size — bounds peak
+        # HBM to chunk x per-query temporaries next to a multi-GB index
+        # (see _map_queries)
+        self.batch_chunk = 4
         self._jit_expand = jax.jit(self._expand_impl)
         if mesh is not None:
             from .shard import ShardedSpiralScan
@@ -381,16 +386,33 @@ class SpiralServerJax:
         f_hi, f_lo = self._scan_fold_impl(db, q_arr, v_folding)
         return self._pack_encode_impl(f_hi, f_lo, v_packing)
 
+    def _map_queries(self, fn, *xs):
+        """Apply a per-query stage across the batch in CHUNKS of
+        self.batch_chunk (lax.map batch_size = vmap over each chunk inside
+        one traced while-loop body). vmapping a full 16-query batch
+        materialized every query's stage temporaries at once and OOM'd the
+        chip next to the 8.6 GB index (21.07 G needed vs 15.75 G HBM, round
+        4): expansion alone carries ~0.24 GB of scatter/select temps per
+        query at the 1 GiB-bucket shape and the fold's round-0 key matmul
+        ~0.13 GB. Chunking bounds the peak to chunk x per-query while
+        keeping ONE dispatch and ONE traced body (compile cost ~= a
+        chunk-sized vmap, not NQ unrolled programs)."""
+        nq = jax.tree.leaves(xs[0])[0].shape[0]
+        return jax.lax.map(lambda a: fn(*a), xs,
+                           batch_size=min(self.batch_chunk, nq))
+
     def _full_batched_impl(self, db, ct_hi_b, ct_lo_b, v_exp_left,
                            v_exp_right, v_conv, v_packing):
-        """The whole BATCH as one traced program: vmapped expansion over
-        stacked per-client keys, ONE shared DB scan (2*NQ MXU columns),
-        per-query folds, vmapped pack+encode. A batch of any size is a
-        single dispatch and a single wire-words fetch."""
-        q_flats, v_folds = jax.vmap(self._expand_flat_impl)(
-            ct_hi_b, ct_lo_b, v_exp_left, v_exp_right, v_conv)
+        """The whole BATCH as one traced program: chunk-mapped expansion
+        over stacked per-client keys, ONE shared DB scan (2*NQ MXU
+        columns), chunk-mapped per-query folds and pack+encode. A batch of
+        any size is a single dispatch and a single wire-words fetch."""
+        q_flats, v_folds = self._map_queries(
+            self._expand_flat_impl, ct_hi_b, ct_lo_b, v_exp_left,
+            v_exp_right, v_conv)
         f_hi, f_lo = self._scan_fold_batched_impl(db, q_flats, v_folds)
-        return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
+        return self._map_queries(self._pack_encode_impl, f_hi, f_lo,
+                                 v_packing)
 
     def _full_batched_sparse_impl(self, db, ct_hi_b, ct_lo_b, v_exp_left,
                                   v_exp_right, v_conv, v_packing,
@@ -398,26 +420,29 @@ class SpiralServerJax:
         def expand(h, l, a, b, c):
             return self._expand_sparse_flat_impl(h, l, a, b, c, *sched_args)
 
-        q_flats, v_folds = jax.vmap(expand)(ct_hi_b, ct_lo_b, v_exp_left,
-                                            v_exp_right, v_conv)
+        q_flats, v_folds = self._map_queries(expand, ct_hi_b, ct_lo_b,
+                                             v_exp_left, v_exp_right, v_conv)
         f_hi, f_lo = self._scan_fold_batched_impl(db, q_flats, v_folds)
-        return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
+        return self._map_queries(self._pack_encode_impl, f_hi, f_lo,
+                                 v_packing)
 
     def _full_batched_sharded_impl(self, db, ct_hi_b, ct_lo_b, v_exp_left,
                                    v_exp_right, v_conv, v_packing,
                                    *sched_args):
-        """Sharded fused batch: expansion vmaps replicated, the scan runs
-        as the shard_map'd DB pass (exact mod-q psum over "db"), pack and
-        encode vmap over the gathered fold outputs — still one dispatch."""
+        """Sharded fused batch: expansion chunk-maps replicated, the scan
+        runs as the shard_map'd DB pass (exact mod-q psum over "db"), pack
+        and encode chunk-map over the gathered fold outputs — still one
+        dispatch (see _map_queries for the chunking rationale)."""
         if sched_args:
             def expand(h, l, a, b, c):
                 return self._expand_sparse_impl(h, l, a, b, c, *sched_args)
         else:
             expand = self._expand_impl
-        q_arrs, v_folds = jax.vmap(expand)(ct_hi_b, ct_lo_b, v_exp_left,
-                                           v_exp_right, v_conv)
+        q_arrs, v_folds = self._map_queries(expand, ct_hi_b, ct_lo_b,
+                                            v_exp_left, v_exp_right, v_conv)
         f_hi, f_lo = self._sharded.scan_fold_batched(db, q_arrs, v_folds)
-        return jax.vmap(self._pack_encode_impl)(f_hi, f_lo, v_packing)
+        return self._map_queries(self._pack_encode_impl, f_hi, f_lo,
+                                 v_packing)
 
     def _dispatch_fused(self, pp_dev: dict, query: Query):
         """Async-dispatch the fused single-query program (sparse-expansion
@@ -487,20 +512,26 @@ class SpiralServerJax:
         # (crt, z, inst, trials, num_per, 2*NQ)
         inst, trials = inter.shape[2], inter.shape[3]
         num_per = inter.shape[4]
-        # ALL queries fold in one batched program: v_foldings' leading NQ
-        # axis rides fold_ciphertexts' per-query batch support, so each
-        # round is ONE digit NTT + ONE matmul + ONE iNTT for the whole
-        # batch. Measured at NQ=16 on v5e (tools/profile_fold.py --batch):
-        # steady-state ties the per-query loop (583 vs 587 ms — the fold is
-        # VPU-bound and linear in NQ) but COMPILES 20x faster (38 s vs
-        # 750 s), which is what bounds cold-start for new batch sizes.
+        # Queries fold in CHUNKS of batch_chunk (lax.map batch_size):
+        # within a chunk each round is ONE digit NTT + ONE matmul + ONE
+        # iNTT via fold_ciphertexts' per-query batch dims. Measured at
+        # NQ=16 on v5e (tools/profile_fold.py --batch): the fold is
+        # VPU-bound and linear in NQ (the all-at-once batch only tied the
+        # per-query loop, 583 vs 587 ms steady-state), so chunking costs
+        # nothing — while a full-NQ fold's temporaries next to the 8.6 GB
+        # index OOM'd the chip, and NQ unrolled per-query folds compiled
+        # 750 s vs the chunk body's ~38 s.
         v_negs = sj.get_v_folding_neg(params, v_foldings,
                                       self.gadget_ntt_u32)
         part = inter.reshape(inter.shape[:5] + (nq, 2))
         cts = jnp.transpose(part, (5, 2, 3, 4, 6, 0, 1))
         cts = cts.reshape(nq, inst * trials, num_per, 2, 1, crt, z)
-        hi, lo = sj.from_ntt(params, cts)
-        h, l = sj.fold_ciphertexts(params, hi, lo, v_foldings, v_negs)
+
+        def fold_one(ct_q, v_fold, v_neg):
+            hi, lo = sj.from_ntt(params, ct_q)
+            return sj.fold_ciphertexts(params, hi, lo, v_fold, v_neg)
+
+        h, l = self._map_queries(fold_one, cts, v_foldings, v_negs)
         shape = (nq, inst, trials) + h.shape[2:]
         return h.reshape(shape), l.reshape(shape)
 

@@ -164,15 +164,23 @@ class ShardedSpiralScan:
                 for c, q in enumerate(params.moduli)])
             inst, t_local = full.shape[2], full.shape[3]
             num_per = full.shape[4]
-            # cross-query batched fold (see server_jax._scan_fold_batched_impl)
+            # chunk-mapped cross-query fold (see server_jax
+            # ._scan_fold_batched_impl / _map_queries: a full-NQ fold's
+            # temporaries OOM'd next to a multi-GB local DB shard)
             v_negs = sj.get_v_folding_neg(params, v_foldings,
                                           self.gadget_ntt_u32)
             part = full.reshape(full.shape[:5] + (nq, 2))
             cts = jnp.transpose(part, (5, 2, 3, 4, 6, 0, 1))
             cts = cts.reshape(nq, inst * t_local, num_per, 2, 1,
                               params.crt_count, params.poly_len)
-            hi, lo = sj.from_ntt(params, cts)
-            h, l = sj.fold_ciphertexts(params, hi, lo, v_foldings, v_negs)
+
+            def fold_one(args):
+                ct_q, v_fold, v_neg = args
+                hi, lo = sj.from_ntt(params, ct_q)
+                return sj.fold_ciphertexts(params, hi, lo, v_fold, v_neg)
+
+            h, l = jax.lax.map(fold_one, (cts, v_foldings, v_negs),
+                               batch_size=min(4, nq))
             shape = (nq, inst, t_local) + h.shape[2:]
             return h.reshape(shape), l.reshape(shape)
 

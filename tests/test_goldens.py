@@ -24,6 +24,32 @@ def test_chacha_u64_stream_alignment():
     assert np.array_equal(a, b)
 
 
+def test_chacha_fast_path_matches_numpy_blocks():
+    # ChaCha20Rng draws keystream through OpenSSL when `cryptography` is
+    # importable (rng._chacha20_keystream); the numpy round function stays
+    # as the reference. Pin their equivalence across block boundaries and
+    # a large counter offset so an OpenSSL variant change cannot silently
+    # alter the wire-format streams.
+    from sdk_tpu import rng as rng_mod
+
+    seed = bytes(range(32))
+    key_words = np.frombuffer(seed, dtype="<u4").astype(np.uint32)
+    r = ChaCha20Rng(seed)
+    drawn = [r.next_u32_words(7), r.next_u32_words(16 * 3 + 5),
+             r.next_u64(100).view(np.uint64)]
+    nwords = 7 + (16 * 3 + 5) + 200
+    ref = rng_mod.chacha20_blocks(
+        key_words, 0, (nwords + 15) // 16).reshape(-1)[:nwords]
+    got = np.concatenate([drawn[0], drawn[1],
+                          drawn[2].view(np.uint32).reshape(-1)])
+    # next_u64 packs (lo, hi) LE word pairs — view as u32 restores stream order
+    assert np.array_equal(got, ref)
+    if rng_mod._chacha20_keystream is not None:
+        raw = rng_mod._chacha20_keystream(seed, 1 << 33, 128)
+        ref = rng_mod.chacha20_blocks(key_words, 1 << 33, 2)
+        assert raw == ref.astype("<u4").tobytes()
+
+
 def test_barrett_crs():
     # arith.rs:477-490
     assert get_barrett_crs(268369921) == (16144578669088582089, 68736257792)
