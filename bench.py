@@ -104,14 +104,17 @@ def _scan_operands(params, R: int, layout: str = "latency"):
             limbs = [((u32 >> jnp.uint32(7 * k)) & jnp.uint32(127))
                      .astype(jnp.int8) for k in range(sj.NUM_LIMBS)]
             if layout == "throughput":
-                planes.append(jnp.stack(limbs, axis=-2))
+                # 5-D flat channel (..., L*dim0): matches the production
+                # single-device storage (server_jax.db_tensor_to_device)
+                ch = jnp.stack(limbs, axis=-2)
+                planes.append(ch.reshape(ch.shape[:-2] + (-1,)))
             else:
                 planes.extend(limbs)
             chans_q.append(jax.random.randint(
                 jax.random.fold_in(k2, c), (params.poly_len, dim0, R),
                 0, q, dtype=jnp.uint32))
         # tuple of crt*L planes (z, inst=1, trials, num_per, dim0) int8, or
-        # crt channels (z, 1, trials, num_per, L, dim0) for throughput
+        # crt channels (z, 1, trials, num_per, L*dim0) for throughput
         return tuple(planes), jnp.stack(chans_q, axis=0)
 
     db_dev, q_dev = gen()

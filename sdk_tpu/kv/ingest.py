@@ -172,14 +172,18 @@ def compact_to_dense(params: Params, db, layout: str = "latency"):
     bins = jnp.broadcast_to(jnp.arange(num_per, dtype=jnp.int32)[:, None],
                             (num_per, cap))
 
+    dim0 = 1 << params.db_dim_1
+
     @jax.jit
     def mig(planes_c, idx_j):
         dense = db_zeros_device(params, layout)
         if layout == "throughput":
+            # single-device only (compact buckets never shard), so the
+            # dense target is the 5-D flat (..., L*dim0) channel form
             out = []
             for c, ch in enumerate(dense):
                 for k in range(NUM_LIMBS):
-                    ch = ch.at[:, :, :, bins, k, idx_j].add(
+                    ch = ch.at[:, :, :, bins, k * dim0 + idx_j].add(
                         planes_c[c * NUM_LIMBS + k])
                 out.append(ch)
             return tuple(out)
@@ -305,16 +309,24 @@ class DbUpdateBuffer:
         if self._jit_scatter is None:
             from ..ops.spiral_jax import NUM_LIMBS
 
+            crt = self.params.crt_count
+            dim0 = 1 << self.params.db_dim_1
+
             def scatter(arrs, v, i1, j1):
-                if arrs[0].ndim == 6:
-                    # throughput layout: crt channels (z,a,t,npr,L,dim0) —
-                    # one scatter per (channel, limb), same count as the
-                    # per-plane layout below
+                if arrs[0].ndim == 6 or len(arrs) == crt:
+                    # throughput layout: crt channels, minor axis either
+                    # (L, dim0) (sharded 6-D) or merged L*dim0 (5-D flat
+                    # single-device) — one scatter per (channel, limb),
+                    # same count as the per-plane layout below
                     out = []
                     for c, ch in enumerate(arrs):
                         for k in range(NUM_LIMBS):
-                            ch = ch.at[:, :, :, i1, k, j1].set(
-                                v[c * NUM_LIMBS + k])
+                            if ch.ndim == 6:
+                                ch = ch.at[:, :, :, i1, k, j1].set(
+                                    v[c * NUM_LIMBS + k])
+                            else:
+                                ch = ch.at[:, :, :, i1, k * dim0 + j1].set(
+                                    v[c * NUM_LIMBS + k])
                         out.append(ch)
                     return tuple(out)
                 return tuple(p.at[:, :, :, i1, j1].set(vc)

@@ -38,7 +38,7 @@ def _join_pair_np(hi: np.ndarray, lo: np.ndarray):
 
 
 def db_tensor_to_device(params: Params, db_host: np.ndarray,
-                        layout: str = "latency"):
+                        layout: str = "latency", sharded: bool = False):
     """Host DB tensor (inst, trials, poly_len, crt, num_per, dim0) u64 ->
     device int8 limb storage in one of two DENSE layouts (both the same
     total bytes; both scans bit-exact — sj.firstdim_multiply dispatches on
@@ -50,10 +50,19 @@ def db_tensor_to_device(params: Params, db_host: np.ndarray,
       index); separate arrays because slicing planes out of one stacked
       device tensor made XLA re-copy the plane per scan.
     - "throughput": a tuple of crt channel arrays
-      (z, inst, trials, num_per, NUM_LIMBS, dim0) — the limb-CONCATENATED
-      row layout. The batched scan runs as ONE weight-grouped GEMM per
-      channel (sj._firstdim_multiply_kconcat): 1.6x faster at the
-      16-query batch (49.4 -> 30.3 ms), ~10% slower single-query.
+      (z, inst, trials, num_per, NUM_LIMBS*dim0) — the limb-CONCATENATED
+      row layout (limb k of column j at minor position k*dim0+j). The
+      batched scan runs as ONE weight-grouped GEMM per channel
+      (sj._firstdim_multiply_kconcat): 1.6x faster at the 16-query batch
+      (49.4 -> 30.3 ms), ~10% slower single-query. The (L, dim0) pair is
+      merged HOST-side: a device-side reshape that merges the minor dims
+      is NOT free under TPU tiling — it materialized a full 4 GB copy of
+      the 1 GiB index as an HLO temp and OOM'd HBM at the 16-query batch
+      (the scan's other reshape, (a,t,npr)->M over non-minor dims, IS
+      free — same as the latency path's). Pass sharded=True to get the
+      6-D (..., NUM_LIMBS, dim0) form instead: the sharded scan needs
+      dim0 as a real axis to shard over "db" (ops/shard.py), and its
+      per-device local reshape copies only a shard-sized temp.
 
     The limb decompose happens host-side so only the final int8 arrays
     (same total bytes as the u32 residues) are resident in HBM — a
@@ -62,12 +71,16 @@ def db_tensor_to_device(params: Params, db_host: np.ndarray,
     u32 = np.ascontiguousarray(
         db_host.transpose(3, 2, 0, 1, 4, 5)).astype(np.uint32)
     if layout == "throughput":
-        return tuple(
-            jnp.asarray(np.stack(
+        def chan(c):
+            arr = np.stack(
                 [((u32[c] >> np.uint32(sj.LIMB_BITS * k))
                   & np.uint32(127)).astype(np.int8)
-                 for k in range(sj.NUM_LIMBS)], axis=-2))
-            for c in range(params.crt_count))
+                 for k in range(sj.NUM_LIMBS)], axis=-2)
+            if not sharded:   # merge (L, dim0) host-side (free; see above)
+                arr = arr.reshape(arr.shape[:-2] + (-1,))
+            return jnp.asarray(arr)
+
+        return tuple(chan(c) for c in range(params.crt_count))
     assert layout == "latency", layout
     return tuple(
         jnp.asarray(((u32[c] >> np.uint32(sj.LIMB_BITS * k))
@@ -75,14 +88,16 @@ def db_tensor_to_device(params: Params, db_host: np.ndarray,
         for c in range(params.crt_count) for k in range(sj.NUM_LIMBS))
 
 
-def db_zeros_device(params: Params, layout: str = "latency"):
+def db_zeros_device(params: Params, layout: str = "latency",
+                    sharded: bool = False):
     """Empty device DB in the given dense storage layout
     (see db_tensor_to_device)."""
     dim0 = 1 << params.db_dim_1
     num_per = 1 << params.db_dim_2
     base = (params.poly_len, params.instances, params.n * params.n, num_per)
     if layout == "throughput":
-        return tuple(jnp.zeros(base + (sj.NUM_LIMBS, dim0), dtype=jnp.int8)
+        tail = (sj.NUM_LIMBS, dim0) if sharded else (sj.NUM_LIMBS * dim0,)
+        return tuple(jnp.zeros(base + tail, dtype=jnp.int8)
                      for _ in range(params.crt_count))
     assert layout == "latency", layout
     return tuple(jnp.zeros(base + (dim0,), dtype=jnp.int8)
@@ -162,7 +177,8 @@ class SpiralServerJax:
 
     def set_db_host_tensor(self, db_host: np.ndarray):
         self.db = db_tensor_to_device(self.params, db_host,
-                                      self.dense_layout)
+                                      self.dense_layout,
+                                      sharded=self._sharded is not None)
         if self._sharded is not None:
             self.db = self._sharded.shard_db(self.db)
 

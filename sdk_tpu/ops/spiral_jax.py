@@ -368,9 +368,15 @@ def _combine_weight_groups(zs, R: int, q: int):
 def _firstdim_multiply_kconcat(params: Params, db_chans, q_arr,
                                q_transposed: bool):
     """Dense scan over the THROUGHPUT dense layout: per CRT channel one
-    int8 array (z, inst, trials, num_per, NUM_LIMBS, dim0) — byte-wise the
-    limb-CONCATENATED row layout (limb k of column j at flat position
-    k*dim0+j), so reshaping to (Z, M, L*dim0) is free and the whole scan is
+    int8 array (z, inst, trials, num_per, NUM_LIMBS*dim0) — the
+    limb-CONCATENATED row layout (limb k of column j at minor position
+    k*dim0+j). Reshaping to (Z, M, L*dim0) merges only the NON-minor
+    (inst, trials, num_per) axes, which is free under TPU tiling; the
+    sharded path's 6-D local shards (..., NUM_LIMBS, dim0) also reshape
+    here, merging the MINOR pair — that copy is shard-local and small,
+    but at the full 8.6 GB single-device index it materialized a 4 GB
+    HLO temp and OOM'd HBM, which is why the single-device storage is
+    pre-merged (server_jax.db_tensor_to_device). The whole scan is
     ONE GEMM per channel against a weight-grouped query operand: weight-s
     columns of limb-block k carry query limb s-k (zero outside range), so
     the GEMM's K-reduction itself sums every k+l=s pair and the int32
@@ -385,7 +391,11 @@ def _firstdim_multiply_kconcat(params: Params, db_chans, q_arr,
     q_arr: (crt, z, dim0, R) u32, or (crt, z, R, dim0) when q_transposed
     (both orientations measure equal: 14.81/14.86 ms at R=2, 30.3/31.65 at
     R=32 incl. the transposed path's one-time query transpose)."""
-    Z, inst, trials, npr, L, dim0 = db_chans[0].shape
+    if db_chans[0].ndim == 6:
+        Z, inst, trials, npr, L, dim0 = db_chans[0].shape
+    else:
+        Z, inst, trials, npr, ld = db_chans[0].shape
+        L, dim0 = NUM_LIMBS, ld // NUM_LIMBS
     M = inst * trials * npr
     R = q_arr.shape[-2] if q_transposed else q_arr.shape[-1]
     W = 2 * NUM_LIMBS - 1
@@ -442,14 +452,15 @@ def firstdim_multiply(params: Params, db_planes, q_arr):
     s=k+l (int32 sums < 2^27) and recombine with Shoup multiplications by
     (2^(7s) mod q), sum < 14q < 2^32.
 
-    A CompactDb db dispatches to the O(populated) compact scan; 6-D
-    channel arrays dispatch to the THROUGHPUT (limb-concat) dense layout
+    A CompactDb db dispatches to the O(populated) compact scan; per-crt
+    channel arrays (tuple length crt_count: 5-D flat single-device or 6-D
+    sharded-local) dispatch to the THROUGHPUT (limb-concat) dense layout
     (_firstdim_multiply_kconcat — 1.6x faster at the 16-query batch,
     ~10% slower single-query; SpiralServerJax dense_layout picks one).
     """
     if isinstance(db_planes, CompactDb):
         return _firstdim_multiply_compact(params, db_planes, q_arr)
-    if db_planes[0].ndim == 6:
+    if db_planes[0].ndim == 6 or len(db_planes) == params.crt_count:
         return _firstdim_multiply_kconcat(params, db_planes, q_arr,
                                           q_transposed=False)
     Z, inst, trials, npr, dim0 = db_planes[0].shape
@@ -500,7 +511,7 @@ def firstdim_multiply_qT(params: Params, db_planes, q_t):
     if isinstance(db_planes, CompactDb):
         return _firstdim_multiply_compact(params, db_planes, q_t,
                                           q_transposed=True)
-    if db_planes[0].ndim == 6:
+    if db_planes[0].ndim == 6 or len(db_planes) == params.crt_count:
         return _firstdim_multiply_kconcat(params, db_planes, q_t,
                                           q_transposed=True)
     Z, inst, trials, npr, dim0 = db_planes[0].shape

@@ -73,7 +73,7 @@ class SpiralKvServer:
             from ..ops.server_jax import db_zeros_device
 
             db0 = self.engine._sharded.shard_db(
-                db_zeros_device(params, dense_layout))
+                db_zeros_device(params, dense_layout, sharded=True))
         else:
             from ..ops.spiral_jax import compact_db_empty
 
@@ -351,13 +351,23 @@ class SpiralKvServer:
             # stream one limb plane/channel at a time into the .npy (a full
             # np.stack would double host RAM at multi-GB indexes); the
             # throughput dense layout saves as (crt, z,a,t,npr,L,dim0)
-            # ndim-7, the plane layouts as (crt*L, ...) ndim-6
-            shape = (len(planes),) + tuple(planes[0].shape)
+            # ndim-7 (the single-device 5-D flat channels reshape their
+            # merged minor axis back to (L, dim0) host-side — free, and
+            # keeps the checkpoint format layout-independent), the plane
+            # layouts as (crt*L, ...) ndim-6
+            from ..ops.spiral_jax import NUM_LIMBS
+
+            tp_flat = (not compact and self.engine.dense_layout
+                       == "throughput" and planes[0].ndim == 5)
+            pshape = tuple(planes[0].shape)
+            if tp_flat:
+                pshape = pshape[:-1] + (NUM_LIMBS, pshape[-1] // NUM_LIMBS)
+            shape = (len(planes),) + pshape
             out = np.lib.format.open_memmap(
                 os.path.join(path, "db_tensor.npy"), mode="w+",
                 dtype=np.int8, shape=shape)
             for i, p in enumerate(planes):
-                out[i] = np.asarray(p)
+                out[i] = np.asarray(p).reshape(pshape)
             out.flush()
             del out
             if compact:
@@ -416,8 +426,11 @@ class SpiralKvServer:
                 planes = tuple(db[i] for i in range(db.shape[0]))
             # convert between dense layouts when the checkpoint's layout
             # differs from the server's configured one (host-side, one
-            # channel at a time off the memmap)
-            if want_tp and planes[0].ndim == 5:
+            # channel at a time off the memmap); the checkpoint stores
+            # throughput channels with (L, dim0) as separate axes —
+            # single-device serving merges them to the 5-D flat form
+            # (sharded keeps 6-D: "db" shards dim0, ops/shard.py)
+            if want_tp and planes[0].ndim == 5 and len(planes) != crt:
                 planes = tuple(
                     np.stack(planes[c * NUM_LIMBS:(c + 1) * NUM_LIMBS],
                              axis=-2) for c in range(crt))
@@ -425,8 +438,12 @@ class SpiralKvServer:
                 planes = tuple(np.ascontiguousarray(planes[c][..., k, :])
                                for c in range(crt)
                                for k in range(NUM_LIMBS))
-            assert len(planes) == (crt if planes[0].ndim == 6
-                                   else crt * NUM_LIMBS)
+            if (want_tp and planes[0].ndim == 6
+                    and self.engine._sharded is None):
+                planes = tuple(
+                    np.asarray(p).reshape(p.shape[:-2] + (-1,))
+                    for p in planes)
+            assert len(planes) == (crt if want_tp else crt * NUM_LIMBS)
             db_dev = tuple(jnp.asarray(p) for p in planes)
             if state.get("db_format") == "compact":
                 assert self.engine._sharded is None

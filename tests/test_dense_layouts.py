@@ -137,7 +137,14 @@ def test_layouts_kv_flush_migrate_persist(tmp_path):
         srvs[src].save_to_dir(str(d))
         s2 = SpiralKvServer(params, dense_layout=dst)
         s2.restore_from_dir(str(d))
-        assert s2.engine.db[0].ndim == (6 if dst == "throughput" else 5)
+        if dst == "throughput":
+            # single-device flat channels: crt arrays, merged L*dim0 minor
+            assert len(s2.engine.db) == params.crt_count
+            assert s2.engine.db[0].shape[-1] == \
+                sj.NUM_LIMBS * (1 << params.db_dim_1)
+        else:
+            assert len(s2.engine.db) == params.crt_count * sj.NUM_LIMBS
+            assert s2.engine.db[0].shape[-1] == 1 << params.db_dim_1
         uid = s2.setup_raw(pp.serialize(params))
         assert s2.private_read_blobs([uid.encode() + qb])[0] == \
             resps["latency"], f"{src}->{dst}"
