@@ -467,7 +467,34 @@ def main():
     # 106 vs 204 GB/s isolated), and a clean process is the only reliable
     # reset of the XLA allocator. The persistent jit cache keeps repeat
     # compiles cheap.
+    # Pre-flight: a DEAD device tunnel hangs every jax dispatch forever.
+    # Without this check, each metric subprocess would burn its full
+    # 2400 s bound on a tunnel that will never answer (5 metrics ≈ 200
+    # min — exactly how the round-3 driver artifact died, rc=124 with
+    # zero useful signal). One tiny fetch with a 300 s bound answers the
+    # question cheaply; on failure, emit a diagnostic line and exit 0 so
+    # the artifact records WHY there are no numbers.
     import subprocess
+
+    if not TINY and not os.environ.get("SDK_TPU_FORCE_CPU"):
+        # DEVNULL, not pipes: the device plugin spawns helper processes
+        # that inherit stdout/stderr — with pipes, run() blocks in
+        # communicate() past the timeout until the grandchildren exit.
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(int(jnp.sum(jnp.arange(8, dtype=jnp.int32))))"],
+                timeout=300, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc != 0:
+            _emit({"metric": "device_preflight", "value": 0,
+                   "unit": "ok", "vs_baseline": 0,
+                   "error": "device tunnel unreachable (tiny fetch did not "
+                            "complete in 300s) — no metrics can run"})
+            return
 
     # Per-metric wall-clock bound: a dead device tunnel hangs jax backend
     # init forever, and one stuck metric must not eat the whole bench run.
