@@ -141,6 +141,8 @@ def bench_scan_batch16() -> dict:
     params = params_from_json(SPIRAL_SCAN_CFG)
     db_dev, q_dev, db_bytes = _scan_operands(params, 2 * NUM_QUERIES)
 
+    import functools
+
     @jax.jit
     def scan(db, q_arr):
         out = sj.firstdim_multiply(params, db, q_arr)
@@ -156,9 +158,35 @@ def bench_scan_batch16() -> dict:
         int(scan(db_dev, q_dev))
     dt = (time.perf_counter() - t0) / iters
     gbps = db_bytes * NUM_QUERIES / dt / 1e9
+
+    # per_pass is k-loop DIFFERENCED (k passes chained in one dispatch,
+    # k=1 vs k=5) so the ~28 ms tunnel dispatch RTT cancels — the r4
+    # per_pass (= aggregate/16) divided a wall time that was ~60% RTT
+    # over a ~20 ms device pass and understated the hardware ~2.4x.
+    # `value` stays the aggregate wall-clock definition (frozen since r1).
+    @functools.partial(jax.jit, static_argnums=2)
+    def scan_k(db, q_arr, k):
+        def body(i, acc):
+            out = sj.firstdim_multiply(params, db,
+                                       q_arr + i.astype(jnp.uint32))
+            return acc + out.sum(dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    def timed_k(k, reps=6):
+        int(scan_k(db_dev, q_dev, k))  # compile + warm
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(scan_k(db_dev, q_dev, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt_pass = max((timed_k(5) - timed_k(1)) / 4, 1e-9)
+    per_pass = db_bytes / dt_pass / 1e9
     return {"metric": "spiral_scan_throughput_batch16",
             "value": round(gbps, 3), "unit": "GB/s",
-            "per_pass_gbps": round(gbps / NUM_QUERIES, 3),
+            "per_pass_gbps": round(per_pass, 3),
             "aggregate_gbps": round(gbps, 3),
             "vs_baseline": round(gbps / SPIRAL_BASELINE_GBPS, 2)}
 
@@ -249,12 +277,25 @@ def bench_doublepir_answer() -> dict:
                                 dtype=jnp.uint32)
         return a1, a2
 
-    t0 = time.perf_counter()
-    a1, a2 = gen_shared()
-    srv.setup([a1, a2])                      # real device hint program
-    setup_s = time.perf_counter() - t0
-    print(f"doublepir device setup (synthetic A, real hint program): "
-          f"{setup_s:.1f}s", file=sys.stderr, flush=True)
+    if os.environ.get("SDK_TPU_BENCH_REAL_A"):
+        # production preprocess: REAL AES-derived A1/A2 streamed host->
+        # device in chunks, accumulated into the device hint program
+        # (ChecklistServerJax.setup_streamed). Opt-in: the ~760 MB of
+        # A-matrix upload through the harness tunnel took 103-569 s in
+        # round 3 and starved later metrics, so the default bench keeps
+        # synthetic-A; the real-A wall time is recorded in BASELINE.md.
+        t0 = time.perf_counter()
+        srv.setup_streamed()
+        setup_s = time.perf_counter() - t0
+        print(f"doublepir device setup (REAL streamed A1/A2 derive+upload+"
+              f"hint): {setup_s:.1f}s", file=sys.stderr, flush=True)
+    else:
+        t0 = time.perf_counter()
+        a1, a2 = gen_shared()
+        srv.setup([a1, a2])                  # real device hint program
+        setup_s = time.perf_counter() - t0
+        print(f"doublepir device setup (synthetic A, real hint program): "
+              f"{setup_s:.1f}s", file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(5)
     lp3, mp3 = -(-l // 3) * 3, -(-m // 3) * 3

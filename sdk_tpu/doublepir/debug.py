@@ -5,7 +5,7 @@ Mirrors the reference's divergence-hunting toolkit:
 - XOR-checksum matrix fingerprints (reference matrix/matrix.rs:176-196,
   util/checksum.rs): the SAME named checksums print from the Python scheme
   (scheme.py), the device server (server_jax.py) and the TS client
-  (js/src/doublepir/checksum.ts), so a state divergence between the two
+  (js/src/doublepir/debug.ts), so a state divergence between the two
   client codebases and the server localizes to the first differing name.
   Gated by COMPUTE_FULL_CHECKSUMS (env SDK_TPU_CHECKSUMS=1 — the runtime
   analog of the reference's compile-time const, matrix.rs:19-24): when off,

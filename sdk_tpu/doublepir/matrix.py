@@ -7,6 +7,7 @@ reference's arithmetic. Matrices are plain (rows, cols) uint32 ndarrays.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -42,6 +43,25 @@ def derive_aes_bytes(key: bytes, nbytes: int) -> bytes:
     return bytes(out)
 
 
+def derive_aes_bytes_range(key: bytes, start: int, nbytes: int) -> bytes:
+    """Bytes [start, start+nbytes) of the derive_aes_bytes keystream,
+    derived independently: each 64 KiB chunk has its own IV, so any range
+    is seekable by generating only the chunks it covers (the property the
+    reference's streaming derivation relies on, derivation.rs:28-60)."""
+    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+
+    c0 = start // DERIVE_CHUNK_SIZE
+    c1 = (start + nbytes + DERIVE_CHUNK_SIZE - 1) // DERIVE_CHUNK_SIZE
+    out = bytearray()
+    zeros = bytes(DERIVE_CHUNK_SIZE)
+    for i in range(c0, c1):
+        iv = i.to_bytes(8, "big") + bytes(8)
+        enc = Cipher(algorithms.AES(key), modes.CTR(iv)).encryptor()
+        out.extend(enc.update(zeros))
+    off = start - c0 * DERIVE_CHUNK_SIZE
+    return bytes(out[off : off + nbytes])
+
+
 def derive_from_seed(rows: int, cols: int, key: bytes) -> np.ndarray:
     """Pseudorandom public matrix: AES-CTR keystream read as native-endian u32
     (reference matrix.rs:125-135; native = little-endian on all targets)."""
@@ -49,15 +69,35 @@ def derive_from_seed(rows: int, cols: int, key: bytes) -> np.ndarray:
     return np.frombuffer(raw, dtype="<u4").reshape(rows, cols).copy()
 
 
+def derive_from_seed_rows(row0: int, nrows: int, cols: int,
+                          key: bytes) -> np.ndarray:
+    """Rows [row0, row0+nrows) of derive_from_seed(R, cols, key) for any
+    R >= row0+nrows, without materializing the rest — the streaming-derive
+    building block (reference derivation.rs:28-60)."""
+    raw = derive_aes_bytes_range(key, row0 * cols * 4, nrows * cols * 4)
+    return np.frombuffer(raw, dtype="<u4").reshape(nrows, cols).copy()
+
+
+# Debug aid (reference matrix.rs:19 `DETERMINISTIC`): SDK_TPU_DETERMINISTIC=1
+# replaces every client-side random/gaussian draw with a fixed-seed stream so
+# two runs produce identical transcripts when hunting a divergence.
+DETERMINISTIC = bool(os.environ.get("SDK_TPU_DETERMINISTIC"))
+_DET_RNG = np.random.default_rng(0) if DETERMINISTIC else None
+
+
 def gaussian(rows: int, cols: int, rng: np.random.Generator) -> np.ndarray:
     """sigma=6.4 discrete gaussian; negatives as two's complement u32
     (reference gaussian.rs, matrix.rs:105-119)."""
+    if DETERMINISTIC:
+        rng = _DET_RNG
     vals = np.round(rng.standard_normal((rows, cols)) * 6.4).astype(np.int64)
     return vals.astype(U32)
 
 
 def random_logmod(rows: int, cols: int, logmod: int,
                   rng: np.random.Generator) -> np.ndarray:
+    if DETERMINISTIC:
+        rng = _DET_RNG
     if logmod == 32:
         return rng.integers(0, 1 << 32, (rows, cols), dtype=U64).astype(U32)
     return rng.integers(0, 1 << logmod, (rows, cols), dtype=U64).astype(U32)

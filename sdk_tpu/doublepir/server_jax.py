@@ -181,6 +181,57 @@ class ChecklistServerJax:
 
     # ---- setup (reference doublepir.rs:76-108, all matmuls on device) ----
 
+    def _stream_derived_to_device(self, key: bytes, rows: int, cols: int,
+                                  chunk_bytes: int = 1 << 25):
+        """AES-derive a public matrix in row chunks and stream it into a
+        device buffer (donated dynamic-update per chunk): peak host memory
+        is ONE chunk, and the bytes cross the host->device link exactly
+        once. JAX async dispatch overlaps chunk k+1's host AES derive with
+        chunk k's upload. The streaming analog of the reference's
+        matrix_mul_derive_fn (derivation.rs:28-60), pointed at the device:
+        the reference streams to avoid materializing A on host; here the
+        same chunking ALSO bounds upload peak memory and pipelines the
+        (slow, ~30 MB/s through the harness tunnel) transfer."""
+        import functools
+
+        from .matrix import derive_from_seed_rows
+
+        crows = max(1, chunk_bytes // (cols * 4))
+        rpad = -(-rows // crows) * crows
+        buf = jnp.zeros((rpad, cols), dtype=jnp.uint32)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def put(b, chunk, r0):
+            return jax.lax.dynamic_update_slice(b, chunk, (r0, 0))
+
+        for r0 in range(0, rows, crows):
+            nr = min(crows, rows - r0)
+            host = derive_from_seed_rows(r0, nr, cols, key)
+            if nr < crows:
+                host = np.vstack(
+                    [host, np.zeros((crows - nr, cols), np.uint32)])
+            buf = put(buf, jnp.asarray(host), jnp.int32(r0))
+        return buf[: rows] if rpad != rows else buf
+
+    def setup_streamed(self, chunk_bytes: int = 1 << 25) -> list[np.ndarray]:
+        """Production-path setup with the REAL AES-derived A1/A2, never
+        materialized on host: stream both matrices to device in chunks,
+        then run the standard device hint program. Bit-exact vs
+        setup(scheme.init(...)) — pinned by test_doublepir_server_jax.
+        A2's upload doubles as its serving residency (_a2_pad_dev), so the
+        ~2x-DB-row bytes of shared matrices move over the link once total
+        (reference re-derives A per use instead, doublepir.rs:76-108 +
+        derivation.rs:28-60 — host-CPU-cheap there, upload-bound here)."""
+        assert self.mesh is None, "streamed setup is single-device"
+        from .matrix import SEEDS_SHORT
+
+        params, info = self.params, self.info
+        a1 = self._stream_derived_to_device(
+            SEEDS_SHORT[0], params.m, params.n, chunk_bytes)
+        a2 = self._stream_derived_to_device(
+            SEEDS_SHORT[1], params.l // info.x, params.n, chunk_bytes)
+        return self.setup([a1, a2])
+
     def setup(self, shared: list | None = None) -> list[np.ndarray]:
         """Returns the client hint [h_2]; retains the squished H1 on device
         and A2^T on host for answers. `shared` = [A1 (m,n), A2 (l,n)]."""

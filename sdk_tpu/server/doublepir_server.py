@@ -104,9 +104,19 @@ class DoublePirKvServer:
 
                 eng = ChecklistServerJax(self.num_entries, self.params,
                                          self.bit_bytes, mesh=self.mesh)
-                if self.shared_state is None:
-                    self.shared_state = scheme.init(eng.info, self.params)
-                self.hint = eng.setup(self.shared_state)
+                if self.shared_state is None and self.mesh is None:
+                    # production preprocess: the AES-derived A1/A2 stream
+                    # host->device in chunks and are NEVER materialized on
+                    # host (760 MB at the checklist shape); A2's upload
+                    # doubles as its serving residency. Identical matrices
+                    # (same seeds) and bit-identical hint to the
+                    # scheme.init path (test_setup_streamed_matches_scheme)
+                    self.hint = eng.setup_streamed()
+                else:
+                    if self.shared_state is None:
+                        self.shared_state = scheme.init(eng.info,
+                                                        self.params)
+                    self.hint = eng.setup(self.shared_state)
                 self._engine = eng
                 self.db_info = eng.info
                 self.db = None
@@ -221,15 +231,26 @@ class DoublePirKvServer:
 
                 eng = ChecklistServerJax(self.num_entries, self.params,
                                          self.bit_bytes, mesh=self.mesh)
-                if self.shared_state is None:
+                if self.shared_state is not None:
+                    a2_install = self.shared_state[1]
+                elif self.mesh is None:
+                    # restore path needs only A2 (answer-serving operand):
+                    # stream it to device without the host materialization
+                    from ..doublepir.matrix import SEEDS_SHORT
+
+                    a2_install = eng._stream_derived_to_device(
+                        SEEDS_SHORT[1], self.params.l // eng.info.x,
+                        self.params.n)
+                else:
                     self.shared_state = scheme.init(eng.info, self.params)
+                    a2_install = self.shared_state[1]
                 h1 = np.load(h1_path)
                 cols = -(-self.params.l // 3) if self.mesh is None \
                     else eng.l_pad // 3
                 want = (self.params.n * self.params.delta(), cols)
                 if h1.shape != want:
                     raise ValueError(f"h1 shape {h1.shape} != {want}")
-                eng.install_hint(h1, self.shared_state[1])
+                eng.install_hint(h1, a2_install)
                 with open(os.path.join(path, "hint.bin"), "rb") as f:
                     hint_bytes = f.read()
                 self.hint = deserialize_state(hint_bytes)[0]

@@ -134,3 +134,41 @@ def test_sharded_checklist_answer_bit_exact(setup_pair):
         got = scheme.recover(t, b, hint_sh, queries[b], sharded_msg, shared,
                              states[b], params, info)
         assert got == int(all_bits[t]), (b, t)
+
+
+def test_derive_rows_matches_full():
+    """derive_from_seed_rows must return exactly the rows of the full
+    derivation for arbitrary (unaligned) row offsets — the seekability the
+    streamed setup rests on (reference derivation.rs:11-22 chunk IVs)."""
+    from sdk_tpu.doublepir.matrix import (SEEDS_SHORT, derive_from_seed,
+                                          derive_from_seed_rows)
+
+    # 4099 cols * 4 B = 16396 B/row: rows straddle the 64 KiB chunking
+    full = derive_from_seed(23, 4099, SEEDS_SHORT[0])
+    for row0, nrows in ((0, 23), (1, 5), (17, 6), (22, 1)):
+        np.testing.assert_array_equal(
+            derive_from_seed_rows(row0, nrows, 4099, SEEDS_SHORT[0]),
+            full[row0 : row0 + nrows])
+
+
+def test_setup_streamed_matches_scheme(setup_pair):
+    """setup_streamed (chunked AES derive -> device accumulate) must
+    produce the identical hint state as setup(scheme.init(...)) — the
+    production preprocess path with the REAL public matrices."""
+    (params, info, num_entries, bit_bytes, *_rest) = setup_pair
+
+    host_db = Db.from_packed_bits(num_entries, params, bit_bytes)
+    shared = scheme.init(info, params)
+    server_state, hint = scheme.setup(host_db, shared, params)
+
+    srv = ChecklistServerJax(num_entries, params, bit_bytes)
+    # tiny chunks force many updates + a ragged tail through the stream
+    hint_dev = srv.setup_streamed(chunk_bytes=params.n * 4 * 3)
+    np.testing.assert_array_equal(np.asarray(srv.h1_sq), server_state[0])
+    np.testing.assert_array_equal(hint_dev[0], hint[0])
+    # the streamed A2 residency must serve answers identically: a2_pad_dev
+    # row-padded to SQUISH_DELTA, equal to the host-derived A2
+    a2 = shared[1]
+    got = np.asarray(srv._a2_pad_dev)
+    np.testing.assert_array_equal(got[: a2.shape[0]], a2)
+    assert not got[a2.shape[0] :].any()
