@@ -11,13 +11,17 @@ line missing — so the most important metric now cannot be starved):
      bit-exact each iteration.
   2. spiral_batch16_full_protocol — ms per 16-query full-protocol batch
      (4 client sessions x 4 queries; one fused scan+fold, one vmapped
-     pack+encode dispatch — the coalescer's serving pattern).
-  3. doublepir_answer_throughput — online answer GB/s on a checklist-shaped
+     pack+encode dispatch — the coalescer's serving pattern). Cold-start
+     single-batch LATENCY: dispatch + device + response transfer serial.
+  3. spiral_sustained_qps (NEW r5) — steady-state serving rate: 6
+     back-to-back batch-16 reads through the depth-2 dispatch/fetch
+     pipeline (transfer/RTT overlap device compute), all decodes verified.
+  4. doublepir_answer_throughput — online answer GB/s on a checklist-shaped
      packed DB, batch-8 (reference kernels.rs:118-178; paper ~7.4 GB/s/core).
-  4. spiral_scan_throughput_batch16  — encrypted-DB scan GB/s, 16-query
+  5. spiral_scan_throughput_batch16  — encrypted-DB scan GB/s, 16-query
      batch sharing one DB pass (the serving pattern; reference batching
      advice docs/docs/performance.mdx, SURVEY 2.8).
-  5. spiral_scan_single_query_device_ms — device-side single-query scan on
+  6. spiral_scan_single_query_device_ms — device-side single-query scan on
      a 2 GiB index (dispatch RTT excluded by k-loop differencing).
 
 Metric definitions are FROZEN as of round 4. Throughput metrics carry BOTH
@@ -29,8 +33,9 @@ conventions as explicit keys:
 `value` is per_pass_gbps for doublepir_answer_throughput (changed in r4:
 the r3 value was aggregate AND paid a ~28 ms tunnel-RTT dispatch fee per
 iteration — 38 ms measured for a 14 ms device answer) and aggregate for
-spiral_scan_throughput_batch16 (unchanged since r1; per_pass now also
-emitted).
+spiral_scan_throughput_batch16 (unchanged since r1). As of r5 that
+metric's per_pass_gbps key is k-loop differenced too (device-true): the
+r4 key divided a wall time that was ~60% tunnel RTT.
 
 Baselines: Spiral paper ~1 GB/s/core CPU DB scan and DoublePIR paper
 ~7.4 GB/s/core (BASELINE.md; the reference publishes no absolute numbers).
@@ -341,17 +346,15 @@ def bench_doublepir_answer() -> dict:
             "vs_baseline": round(per_pass / DOUBLEPIR_BASELINE_GBPS, 2)}
 
 
-def bench_spiral_batch16_protocol() -> dict:
-    """Full-protocol BATCHED serving on the 1 GiB bucket config: 16
-    queries from 4 distinct client sessions ride one fused scan+fold and
-    one vmapped pack+encode dispatch (the coalescer's serving pattern).
-    Reports ms per 16-query batch; vs_baseline is effective GB/s of index
-    scanned per query over the Spiral paper's 1 GB/s/core point."""
+def _spiral_batch16_fixture():
+    """Shared setup for the batched serving metrics: a 1 GiB bucket in the
+    throughput dense layout (the limb-concat layout's batched scan is 1.6x
+    the latency layout's at NQ=16, round 4), 4 client sessions x 4 queries
+    each, all for the planted key."""
     import base64
-    import bz2
 
     from sdk_tpu.client import Client
-    from sdk_tpu.kv.key_value import extract_result, row_from_key
+    from sdk_tpu.kv.key_value import row_from_key
     from sdk_tpu.params_store import get_params_from_store
     from sdk_tpu.rng import ChaCha20Rng
     from sdk_tpu.server.kv_server import SpiralKvServer
@@ -361,8 +364,6 @@ def bench_spiral_batch16_protocol() -> dict:
         params = get_fast_expansion_testing_params()
     else:
         params = get_params_from_store(15, 32768)
-    # throughput serving profile: the limb-concat dense layout's batched
-    # scan is 1.6x the latency layout's at NQ=16 (round 4)
     srv = SpiralKvServer(params, dense_layout="throughput")
     srv.dense_migrate_fill = -1.0
     value = b"\x5a" * 64 if TINY else bytes(range(256)) * 64
@@ -384,16 +385,34 @@ def bench_spiral_batch16_protocol() -> dict:
                 row, noise_rng=ChaCha20Rng(bytes([0x80 + 4 * ci + qi]) * 32),
                 query_seed=bytes([0xA0 + 4 * ci + qi]) * 32)
             blobs.append(uid.encode() + q.serialize(params))
+    return params, srv, clients, blobs, value
+
+
+def _check_batch(clients, value, resps) -> None:
+    import bz2
+
+    from sdk_tpu.kv.key_value import extract_result
+
+    for i, resp in enumerate(resps):
+        decoded = clients[i // 4].decode_response(resp)
+        payload = bz2.BZ2Decompressor().decompress(decoded)
+        assert extract_result("bench-key", payload) == value, \
+            "decode mismatch — recall@1 violated"
+
+
+def bench_spiral_batch16_protocol() -> dict:
+    """Full-protocol BATCHED serving on the 1 GiB bucket config: 16
+    queries from 4 distinct client sessions ride one fused scan+fold and
+    one vmapped pack+encode dispatch (the coalescer's serving pattern).
+    Reports ms per 16-query batch; vs_baseline is effective GB/s of index
+    scanned per query over the Spiral paper's 1 GB/s/core point."""
+    params, srv, clients, blobs, value = _spiral_batch16_fixture()
 
     def batch_once() -> float:
         t0 = time.perf_counter()
         resps = srv.private_read_blobs(blobs)
         dt = time.perf_counter() - t0
-        for i, resp in enumerate(resps):
-            decoded = clients[i // 4].decode_response(resp)
-            payload = bz2.BZ2Decompressor().decompress(decoded)
-            assert extract_result("bench-key", payload) == value, \
-                "decode mismatch — recall@1 violated"
+        _check_batch(clients, value, resps)
         return dt
 
     batch_once()  # compile + warm
@@ -404,6 +423,42 @@ def bench_spiral_batch16_protocol() -> dict:
             "value": round(p50 * 1e3, 1), "unit": "ms/batch16",
             "vs_baseline": round((db_gb * 16 / p50) / SPIRAL_BASELINE_GBPS,
                                  2)}
+
+
+def bench_spiral_sustained_qps() -> dict:
+    """Sustained full-protocol serving throughput: K back-to-back
+    16-query batches through the depth-2 dispatch/fetch pipeline
+    (kv_server.dispatch_read_blobs — batch N+1 dispatches before batch
+    N's fetch, so response transfer + dispatch RTT overlap device
+    compute). Every response of every batch decode-verified. The
+    single-batch metric above is cold-start LATENCY; this is the
+    steady-state rate a deployment would see. vs_baseline: effective
+    GB/s of index scanned per query over the Spiral paper's 1 GB/s/core."""
+    from collections import deque
+
+    params, srv, clients, blobs, value = _spiral_batch16_fixture()
+
+    srv.private_read_blobs(blobs)  # compile + warm
+    k_batches = 3 if TINY else 6
+    t0 = time.perf_counter()
+    fetches: deque = deque()
+    all_resps = []
+    for _ in range(k_batches):
+        fetches.append(srv.dispatch_read_blobs(blobs))
+        if len(fetches) >= 2:
+            all_resps.append(fetches.popleft()())
+    while fetches:
+        all_resps.append(fetches.popleft()())
+    dt = time.perf_counter() - t0
+    for resps in all_resps:
+        _check_batch(clients, value, resps)
+    nq = len(blobs)
+    qps = k_batches * nq / dt
+    db_gb = params.num_items() * params.db_item_size / 1e9
+    return {"metric": "spiral_sustained_qps",
+            "value": round(qps, 2), "unit": "queries/s",
+            "batches": k_batches, "pipeline_depth": 2,
+            "vs_baseline": round(db_gb * qps / SPIRAL_BASELINE_GBPS, 2)}
 
 
 def bench_spiral_p50_1gib() -> dict:
@@ -476,8 +531,8 @@ def _enable_jit_cache() -> None:
 
 def main():
     benches = [bench_spiral_p50_1gib, bench_spiral_batch16_protocol,
-               bench_doublepir_answer, bench_scan_batch16,
-               bench_scan_single_device]
+               bench_spiral_sustained_qps, bench_doublepir_answer,
+               bench_scan_batch16, bench_scan_single_device]
     # optional argv filter: any substring of a bench name, e.g.
     # `python bench.py p50 doublepir`
     args = [a for a in sys.argv[1:] if a != "--inproc"]

@@ -149,6 +149,15 @@ class SpiralServerJax:
         # pad batched reads to power-of-two NQ (bounds jit retraces to
         # log2(NQ_max) programs; see dispatch_queries_batched)
         self.batch_pad_pow2 = True
+        # stacked per-client key material, cached by the identity of the
+        # pp_dev dicts in the (padded) batch: serving batches repeat the
+        # same session set, and re-stacking ~100 key leaves enqueued ~200 ms
+        # of host dispatch per batch at NQ=16 (tools/profile_batch16.py,
+        # round 5). Entries pin their pp dicts (strong refs) so a dict id
+        # can't be reused while its cache line is alive; tiny LRU because
+        # each line holds a full NQ-wide device copy of the key material.
+        self._stack_cache: dict = {}
+        self._stack_cache_max = 4
         # per-query stages of the fused batched read (expansion, fold,
         # pack+encode) run in lax.map chunks of this size — bounds peak
         # HBM to chunk x per-query temporaries next to a multi-GB index
@@ -610,9 +619,18 @@ class SpiralServerJax:
             hs, ls = zip(*[_split_pair_np(q.ct) for _, q in requests])
             ct_hi_b = jnp.asarray(np.stack(hs))
             ct_lo_b = jnp.asarray(np.stack(ls))
-            stacked = tuple(stack_key(pps, k) for k in
-                            ("v_exp_left", "v_exp_right", "v_conversion",
-                             "v_packing"))
+            ck = tuple(map(id, pps))
+            hit = self._stack_cache.pop(ck, None)
+            if hit is None:
+                stacked = tuple(stack_key(pps, k) for k in
+                                ("v_exp_left", "v_exp_right", "v_conversion",
+                                 "v_packing"))
+                hit = (pps, stacked)   # pps pins the dict ids (see __init__)
+            else:
+                stacked = hit[1]
+            self._stack_cache[ck] = hit   # re-insert = move to MRU
+            while len(self._stack_cache) > self._stack_cache_max:
+                self._stack_cache.pop(next(iter(self._stack_cache)))
             sched = self._splan_dev if self._splan is not None else ()
             if self._sharded is not None:
                 if not hasattr(self, "_jit_full_b_sharded"):

@@ -214,11 +214,25 @@ class SpiralKvServer:
         Dispatch runs under the lock (a concurrent flush donates the DB
         buffer); the blocking device fetch runs outside it so writes
         proceed while the device crunches."""
+        return self.dispatch_read_blobs(blobs)()
+
+    def dispatch_read_blobs(self, blobs: list[bytes]):
+        """Two-phase read: enqueue the batch on device and return a
+        zero-arg fetch closure. Callers that dispatch batch N+1 BEFORE
+        fetching batch N pipeline the device: batch N's response transfer
+        (and the dispatch round trip) overlap batch N+1's execution, so
+        sustained throughput approaches the device-work floor instead of
+        device + transfer + RTT per batch. JAX queues the programs; the
+        runtime keeps every in-flight batch's buffers alive, and a flush
+        between two dispatches is safe for the same reason single-batch
+        two-phase serving is (donated buffers stay alive for in-flight
+        programs; see dispatch_queries_batched). Fetches may be called in
+        any order. (The reference's batch loop is strictly serial,
+        lib/server/src/server.rs:53-96 — this is TPU-native headroom.)"""
         with self.lock:
             self._flush()
             reqs = [self._parse_request(b) for b in blobs]
-            fetch = self.engine.dispatch_queries_batched(reqs)
-        return fetch()
+            return self.engine.dispatch_queries_batched(reqs)
 
     def warmup(self) -> float:
         """Pre-compile the hot serving path before traffic arrives: one

@@ -15,6 +15,7 @@ EXPECTED = {
     "spiral_scan_single_query_device_ms",
     "doublepir_answer_throughput",
     "spiral_batch16_full_protocol",
+    "spiral_sustained_qps",
     "spiral_p50_1gib",
 }
 
@@ -37,7 +38,8 @@ def test_bench_tiny_emits_every_metric():
         # throughput metrics dual-report (frozen in round 4): per_pass is
         # one DB pass, aggregate = per_pass x batch
         extra = set(ln) - core
-        assert extra <= {"per_pass_gbps", "aggregate_gbps"}, ln
+        assert extra <= {"per_pass_gbps", "aggregate_gbps", "batches",
+                         "pipeline_depth"}, ln
         if ln["unit"] == "GB/s":
             assert extra == {"per_pass_gbps", "aggregate_gbps"}, ln
         assert isinstance(ln["value"], (int, float)), ln

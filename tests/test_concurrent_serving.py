@@ -62,3 +62,52 @@ def test_reads_interleaved_with_donating_writes():
     # a churned key written during the storm is readable afterwards
     write({"after-key": b"after-value"})
     assert read_via_protocol(srv, "after-key") == b"after-value"
+
+
+def test_pipelined_dispatch_overlapped_batches():
+    """dispatch_read_blobs: batch N+1 dispatched BEFORE batch N's fetch
+    (the sustained-QPS serving pattern), with a donating flush between the
+    two dispatches and out-of-order fetches. Every response must decode
+    bit-exactly — in-flight programs must survive both the overlap and
+    the DB donation."""
+    import bz2
+
+    from sdk_tpu.client import Client, reframe_decoded_row
+    from sdk_tpu.kv.key_value import extract_result, row_from_key
+    from sdk_tpu.server.kv_server import SpiralKvServer
+
+    params = get_fast_expansion_testing_params()
+    srv = SpiralKvServer(params, json.dumps(params_to_json_obj(params)))
+
+    def write(kv: dict) -> None:
+        srv.write_kv(json.dumps(
+            {k: base64.b64encode(v).decode()
+             for k, v in kv.items()}).encode())
+
+    write({"pipe-key": b"pipe-value"})
+
+    clients, blobs = [], []
+    for i in range(4):
+        c = Client(params)
+        pp = c.generate_keys()
+        uid = srv.setup_raw(pp.serialize(params))
+        q = c.generate_query(row_from_key(params.num_items(), "pipe-key"))
+        clients.append(c)
+        blobs.append(uid.encode() + q.serialize(params))
+
+    def check(c: Client, resp: bytes) -> None:
+        row = reframe_decoded_row(params, c.decode_response(resp))
+        payload = bz2.BZ2Decompressor().decompress(row)
+        assert extract_result("pipe-key", payload) == b"pipe-value"
+
+    # depth-2 pipeline: A, B in flight together; write+flush (donating
+    # scatter) lands between the dispatches; B fetched before A
+    fetch_a = srv.dispatch_read_blobs(blobs[:2])
+    write({"churn": b"x" * 32})           # flush donates the DB buffer
+    fetch_b = srv.dispatch_read_blobs(blobs[2:])
+    resp_b = fetch_b()
+    resp_a = fetch_a()
+    for i, r in enumerate(resp_a):
+        check(clients[i], r)
+    for i, r in enumerate(resp_b):
+        check(clients[2 + i], r)
