@@ -104,6 +104,37 @@ def db_zeros_device(params: Params, layout: str = "latency",
                  for _ in range(params.crt_count * sj.NUM_LIMBS))
 
 
+def index_hbm_bytes(params: Params) -> int:
+    """Device bytes of the dense encrypted index (identical in both dense
+    layouts: crt*NUM_LIMBS int8 entries per u64 coefficient pair)."""
+    dim0 = 1 << params.db_dim_1
+    num_per = 1 << params.db_dim_2
+    return (params.crt_count * sj.NUM_LIMBS * params.poly_len
+            * params.instances * params.n * params.n * num_per * dim0)
+
+
+def serving_working_set_bytes(params: Params, nq: int = 16,
+                              chunk: int = 4) -> int:
+    """Estimated peak serving temporaries NEXT TO the dense index for an
+    nq-query fused batch with chunk-mapped per-query stages: the shared
+    scan intermediate (crt, z, inst, trials, num_per, 2*nq) u32, the nq
+    flat query carriers, and `chunk` queries' expansion + fold temps.
+    Multipliers calibrated against the round-4 measurements at the 1 GiB
+    shape (expansion ~16x its flat carrier from scatter/select temps,
+    fold ~8x its round-0 digit matrix); the total reproduces the ~12 GB
+    peak that fit next to the 8.6 GB index after batch chunking (the
+    un-chunked form needed 21.07 GB and OOM'd — server_jax._map_queries)."""
+    crt, z = params.crt_count, params.poly_len
+    inst, trials = params.instances, params.n * params.n
+    dim0 = 1 << params.db_dim_1
+    num_per = 1 << params.db_dim_2
+    inter = crt * z * inst * trials * num_per * 2 * nq * 4
+    q_flats = nq * crt * z * 2 * dim0 * 4
+    expand = 16 * crt * z * 2 * dim0 * 4
+    fold = 8 * num_per * 2 * params.t_gsw * crt * z * 4
+    return inter + q_flats + chunk * (expand + fold)
+
+
 def pp_to_device(params: Params, pp: PublicParameters) -> dict:
     """Stack public-parameter matrices into device uint32 arrays, paired
     with host-precomputed Shoup companions (session-fixed key material)."""

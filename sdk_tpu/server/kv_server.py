@@ -24,6 +24,13 @@ from ..ops.server_jax import SpiralServerJax, pp_to_device
 UUID_V4_STR_BYTES = 36
 
 
+class BucketCapacityError(RuntimeError):
+    """The dense encrypted index + serving working set exceed the device
+    memory budget. Raised BEFORE the allocation that would OOM the chip
+    (TPU-native hygiene the reference's malloc-and-hope server lacks;
+    round 4 found the batch-16 OOM at bench time by luck)."""
+
+
 class SpiralKvServer:
     """One bucket: Spiral params + rows + encrypted index on device."""
 
@@ -69,9 +76,16 @@ class SpiralKvServer:
         # crossover ~12.5% fill at the 1 GiB shape — tools/
         # profile_compact.py). Sharded serving always runs dense.
         self.dense_migrate_fill = 0.125
+        # Device-memory budget for the capacity guard (_check_capacity):
+        # None = autodetect from the device (memory_stats bytes_limit);
+        # set a byte count to override (tests use a tiny one). When the
+        # backend reports no limit (CPU mesh) and no override is set, the
+        # guard is a no-op.
+        self.hbm_budget_bytes: int | None = None
         if self.engine._sharded is not None:
             from ..ops.server_jax import db_zeros_device
 
+            self._check_capacity()   # dense from the start when sharded
             db0 = self.engine._sharded.shard_db(
                 db_zeros_device(params, dense_layout, sharded=True))
         else:
@@ -87,6 +101,56 @@ class SpiralKvServer:
         self._populated_items: set[int] = set()
         self._pop_dirty = False
         self.sparse_expansion_max_fill = 0.25
+
+    # --- capacity guard ---
+
+    def _device_budget_bytes(self) -> int | None:
+        import os
+
+        if os.environ.get("SDK_TPU_NO_CAPACITY_GUARD"):
+            return None
+        if self.hbm_budget_bytes is not None:
+            return self.hbm_budget_bytes
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats()
+            limit = int(stats.get("bytes_limit", 0)) if stats else 0
+            return limit or None
+        except Exception:  # noqa: BLE001 — no stats => guard disabled
+            return None
+
+    def _check_capacity(self) -> None:
+        """Refuse a dense index that cannot fit next to its serving
+        working set — BEFORE the allocation that would OOM the chip
+        mid-flush. Sharded serving divides the index over the "db" mesh
+        axis; the error names the max bucket size for this budget and the
+        escape hatches."""
+        from ..ops.server_jax import index_hbm_bytes, serving_working_set_bytes
+
+        budget = self._device_budget_bytes()
+        if budget is None:
+            return
+        params = self.params
+        ndev = 1
+        if self.engine._sharded is not None:
+            ndev = self.engine._sharded.mesh.shape.get("db", 1)
+        idx = index_hbm_bytes(params) // ndev
+        ws = serving_working_set_bytes(params)
+        if idx + ws <= budget:
+            return
+        per_item = index_hbm_bytes(params) // params.num_items()
+        max_items = max(int((budget - ws) * ndev // per_item), 0)
+        max_bytes = max_items * params.db_item_size
+        raise BucketCapacityError(
+            f"dense index needs {idx / 1e9:.2f} GB/device + "
+            f"{ws / 1e9:.2f} GB serving working set, but the device "
+            f"budget is {budget / 1e9:.2f} GB. Max bucket at these params "
+            f"on this budget: ~{max_items} items ({max_bytes / 1e9:.2f} GB "
+            f"of {params.db_item_size}-byte items). Escape hatches: serve "
+            f"from a sharded mesh (SpiralKvServer(mesh=...), rows split "
+            f"over the 'db' axis) or split the bucket across hosts behind "
+            f"the DCN front end (sdk_tpu.server.dcn).")
 
     # --- writes ---
 
@@ -150,6 +214,7 @@ class SpiralKvServer:
         if (isinstance(self.engine.db, CompactDb)
                 and len(self._populated_items)
                 > self.dense_migrate_fill * self.params.num_items()):
+            self._check_capacity()   # refuse, don't OOM, if it can't fit
             from ..kv.ingest import compact_to_dense
 
             self.engine.db = compact_to_dense(self.params, self.engine.db,
@@ -458,6 +523,8 @@ class SpiralKvServer:
                     np.asarray(p).reshape(p.shape[:-2] + (-1,))
                     for p in planes)
             assert len(planes) == (crt if want_tp else crt * NUM_LIMBS)
+            if state.get("db_format") != "compact":
+                self._check_capacity()   # refuse, don't OOM, mid-restore
             db_dev = tuple(jnp.asarray(p) for p in planes)
             if state.get("db_format") == "compact":
                 assert self.engine._sharded is None
