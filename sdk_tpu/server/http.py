@@ -51,6 +51,12 @@ class ReadCoalescer:
     concurrent independent clients get the batched aggregate throughput the
     engine already provides within a single request body. Parse failures
     (bad uuid, truncated query) stay per-request.
+
+    Successive windows PIPELINE on the device: leadership for window N+1
+    is released before window N's dispatch, and N's blocking fetch runs
+    outside every lock — so N+1's dispatch overlaps N's device run +
+    response transfer (the same depth-2 overlap bench.py measures as
+    spiral_sustained_qps; see kv_server.dispatch_read_blobs).
     """
 
     def __init__(self, srv: SpiralKvServer, window_s: float):
