@@ -79,8 +79,10 @@ class SpiralKvServer:
         # Device-memory budget for the capacity guard (_check_capacity):
         # None = autodetect from the device (memory_stats bytes_limit);
         # set a byte count to override (tests use a tiny one). When the
-        # backend reports no limit (CPU mesh) and no override is set, the
-        # guard is a no-op.
+        # backend reports no limit (CPU mesh; the axon tunnel device
+        # returns memory_stats()=None) and no override is set, the guard
+        # is a no-op — co-located TPU runtimes report bytes_limit and get
+        # the protection automatically.
         self.hbm_budget_bytes: int | None = None
         if self.engine._sharded is not None:
             from ..ops.server_jax import db_zeros_device
