@@ -128,6 +128,41 @@ def _scan_operands(params, R: int, layout: str = "latency"):
     return db_dev, q_dev, db_bytes
 
 
+def _kloop_pass_seconds(params, db_dev, q_dev, k_hi: int = 5,
+                        reps: int = 6) -> float:
+    """Device time of ONE firstdim_multiply pass over (db_dev, q_dev):
+    k passes chained inside a single dispatch (q + i defeats CSE), timed
+    best-of-reps at k=1 and k=k_hi, differenced — the per-dispatch tunnel
+    RTT cancels exactly. Shared by both scan metrics so their k-loop
+    methodology is identical by construction."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from sdk_tpu.ops import spiral_jax as sj
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def scan_k(db, q_arr, k):
+        def body(i, acc):
+            out = sj.firstdim_multiply(params, db,
+                                       q_arr + i.astype(jnp.uint32))
+            return acc + out.sum(dtype=jnp.uint32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    def timed(k):
+        int(scan_k(db_dev, q_dev, k))  # compile + warm
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(scan_k(db_dev, q_dev, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(k_hi) - timed(1)) / (k_hi - 1), 1e-9)
+
+
 def bench_scan_batch16() -> dict:
     import jax
     import jax.numpy as jnp
@@ -169,26 +204,7 @@ def bench_scan_batch16() -> dict:
     # per_pass (= aggregate/16) divided a wall time that was ~60% RTT
     # over a ~20 ms device pass and understated the hardware ~2.4x.
     # `value` stays the aggregate wall-clock definition (frozen since r1).
-    @functools.partial(jax.jit, static_argnums=2)
-    def scan_k(db, q_arr, k):
-        def body(i, acc):
-            out = sj.firstdim_multiply(params, db,
-                                       q_arr + i.astype(jnp.uint32))
-            return acc + out.sum(dtype=jnp.uint32)
-
-        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-
-    def timed_k(k, reps=6):
-        int(scan_k(db_dev, q_dev, k))  # compile + warm
-        best = 1e9
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            int(scan_k(db_dev, q_dev, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    dt_pass = max((timed_k(5) - timed_k(1)) / 4, 1e-9)
-    per_pass = db_bytes / dt_pass / 1e9
+    per_pass = db_bytes / _kloop_pass_seconds(params, db_dev, q_dev) / 1e9
     return {"metric": "spiral_scan_throughput_batch16",
             "value": round(gbps, 3), "unit": "GB/s",
             "per_pass_gbps": round(per_pass, 3),
@@ -199,36 +215,16 @@ def bench_scan_batch16() -> dict:
 def bench_scan_single_device() -> dict:
     """Device-side single-query scan latency on a 2 GiB index: time k scans
     chained inside one dispatch for k in {1, 9} and difference — the per-
-    dispatch tunnel RTT (~28 ms here) cancels exactly."""
-    import functools
-
-    import jax
-    import jax.numpy as jnp
-
+    dispatch tunnel RTT (~28 ms here) cancels exactly. (r5: timing is
+    best-of-reps via the shared _kloop_pass_seconds helper — same
+    methodology as the batch metric's per_pass by construction; mean vs
+    best only moves the number within tunnel noise.)"""
     from sdk_tpu.params import params_from_json
-    from sdk_tpu.ops import spiral_jax as sj
 
     params = params_from_json(SPIRAL_SCAN_CFG)
     db_dev, q_dev, db_bytes = _scan_operands(params, 2)
-
-    @functools.partial(jax.jit, static_argnums=2)
-    def scan_k(db, q_arr, k):
-        def body(i, acc):
-            q_i = q_arr + i.astype(jnp.uint32)  # defeat CSE across rounds
-            out = sj.firstdim_multiply(params, db, q_i)
-            return acc + out.sum(dtype=jnp.uint32)
-
-        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
-
-    def timed(k, iters=8):
-        int(scan_k(db_dev, q_dev, k))  # compile + warm
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            int(scan_k(db_dev, q_dev, k))
-        return (time.perf_counter() - t0) / iters
-
-    t1, t9 = timed(1), timed(9)
-    ms = max((t9 - t1) / 8 * 1e3, 1e-6)  # noise floor (tiny-mode CPU runs)
+    ms = max(_kloop_pass_seconds(params, db_dev, q_dev, k_hi=9,
+                                 reps=8) * 1e3, 1e-6)
     eff_gbps = db_bytes / (ms / 1e3) / 1e9
     return {"metric": "spiral_scan_single_query_device_ms",
             "value": round(ms, 3), "unit": "ms",

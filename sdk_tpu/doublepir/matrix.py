@@ -30,17 +30,7 @@ SEEDS_SHORT = [
 def derive_aes_bytes(key: bytes, nbytes: int) -> bytes:
     """AES-128-CTR keystream in 64 KiB chunks: chunk i uses IV = BE64(i) || 0^8
     with a 64-bit big-endian block counter (reference derivation.rs:11-22)."""
-    from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
-
-    out = bytearray()
-    zeros = bytes(DERIVE_CHUNK_SIZE)
-    nchunks = (nbytes + DERIVE_CHUNK_SIZE - 1) // DERIVE_CHUNK_SIZE
-    for i in range(nchunks):
-        iv = i.to_bytes(8, "big") + bytes(8)
-        enc = Cipher(algorithms.AES(key), modes.CTR(iv)).encryptor()
-        want = min(DERIVE_CHUNK_SIZE, nbytes - i * DERIVE_CHUNK_SIZE)
-        out.extend(enc.update(zeros[:want]))
-    return bytes(out)
+    return derive_aes_bytes_range(key, 0, nbytes)
 
 
 def derive_aes_bytes_range(key: bytes, start: int, nbytes: int) -> bytes:

@@ -185,10 +185,14 @@ class SpiralServerJax:
         # same session set, and re-stacking ~100 key leaves enqueued ~200 ms
         # of host dispatch per batch at NQ=16 (tools/profile_batch16.py,
         # round 5). Entries pin their pp dicts (strong refs) so a dict id
-        # can't be reused while its cache line is alive; tiny LRU because
-        # each line holds a full NQ-wide device copy of the key material.
+        # can't be reused while its cache line is alive. BYTE-capped LRU:
+        # each line holds a full NQ-wide device copy of the key material,
+        # and the cap is what the server's HBM capacity guard budgets
+        # (stack_cache_budget_bytes). The MRU line survives even if it
+        # alone exceeds the cap (otherwise batch serving would lose the
+        # ~200 ms/batch win entirely).
         self._stack_cache: dict = {}
-        self._stack_cache_max = 4
+        self._stack_cache_max_bytes = 512 << 20
         # per-query stages of the fused batched read (expansion, fold,
         # pack+encode) run in lax.map chunks of this size — bounds peak
         # HBM to chunk x per-query temporaries next to a multi-GB index
@@ -208,6 +212,13 @@ class SpiralServerJax:
         self._jit_pack = jax.jit(self._pack_impl)
 
     # -- state --
+
+    def stack_cache_budget_bytes(self) -> int:
+        """Worst-case device bytes the stacked-key LRU may pin (its byte
+        cap, or the current MRU entry when that alone exceeds the cap) —
+        budgeted by the server's HBM capacity guard."""
+        cur = max((e[2] for e in self._stack_cache.values()), default=0)
+        return max(self._stack_cache_max_bytes, cur)
 
     def set_db_from_items(self, items: np.ndarray):
         """items: (instances, trials, num_items, poly_len) mod-p uint64."""
@@ -650,18 +661,27 @@ class SpiralServerJax:
             hs, ls = zip(*[_split_pair_np(q.ct) for _, q in requests])
             ct_hi_b = jnp.asarray(np.stack(hs))
             ct_lo_b = jnp.asarray(np.stack(ls))
+            # cache only dict-keyed batches: pp dicts are the stable
+            # session objects (kv_server.pub_params); PublicParameters
+            # inputs get a fresh device dict per call, so their ids never
+            # repeat and caching would only pin dead memory
+            cacheable = all(isinstance(pp, dict) for pp, _ in requests)
             ck = tuple(map(id, pps))
-            hit = self._stack_cache.pop(ck, None)
+            hit = self._stack_cache.pop(ck, None) if cacheable else None
             if hit is None:
                 stacked = tuple(stack_key(pps, k) for k in
                                 ("v_exp_left", "v_exp_right", "v_conversion",
                                  "v_packing"))
-                hit = (pps, stacked)   # pps pins the dict ids (see __init__)
+                nbytes = sum(x.nbytes for x in jax.tree.leaves(stacked))
+                hit = (pps, stacked, nbytes)  # pps pins the dict ids
             else:
                 stacked = hit[1]
-            self._stack_cache[ck] = hit   # re-insert = move to MRU
-            while len(self._stack_cache) > self._stack_cache_max:
-                self._stack_cache.pop(next(iter(self._stack_cache)))
+            if cacheable:
+                self._stack_cache[ck] = hit   # re-insert = move to MRU
+                while (len(self._stack_cache) > 1
+                       and sum(e[2] for e in self._stack_cache.values())
+                       > self._stack_cache_max_bytes):
+                    self._stack_cache.pop(next(iter(self._stack_cache)))
             sched = self._splan_dev if self._splan is not None else ()
             if self._sharded is not None:
                 if not hasattr(self, "_jit_full_b_sharded"):

@@ -231,6 +231,14 @@ class DoublePirKvServer:
 
                 eng = ChecklistServerJax(self.num_entries, self.params,
                                          self.bit_bytes, mesh=self.mesh)
+                # validate the checkpointed hint BEFORE deriving/streaming
+                # A2 (a mismatched h1 would discard that ~380 MB upload)
+                h1 = np.load(h1_path)
+                cols = -(-self.params.l // 3) if self.mesh is None \
+                    else eng.l_pad // 3
+                want = (self.params.n * self.params.delta(), cols)
+                if h1.shape != want:
+                    raise ValueError(f"h1 shape {h1.shape} != {want}")
                 if self.shared_state is not None:
                     a2_install = self.shared_state[1]
                 elif self.mesh is None:
@@ -244,12 +252,6 @@ class DoublePirKvServer:
                 else:
                     self.shared_state = scheme.init(eng.info, self.params)
                     a2_install = self.shared_state[1]
-                h1 = np.load(h1_path)
-                cols = -(-self.params.l // 3) if self.mesh is None \
-                    else eng.l_pad // 3
-                want = (self.params.n * self.params.delta(), cols)
-                if h1.shape != want:
-                    raise ValueError(f"h1 shape {h1.shape} != {want}")
                 eng.install_hint(h1, a2_install)
                 with open(os.path.join(path, "hint.bin"), "rb") as f:
                     hint_bytes = f.read()

@@ -415,6 +415,16 @@ def enable_jit_cache(path: str | None = None) -> None:
 
 
 def main(argv: list[str]):
+    """CLI: python -m sdk_tpu.server.http <port> [params.json | n_log2
+    item_size] [--mesh SPEC] [--batch-window-ms N] [--warmup]
+    [--restore DIR] [--save-on-exit DIR] [--dense-layout latency|throughput]
+
+    Env knobs: SDK_TPU_MESH, SDK_TPU_BATCH_WINDOW_MS, SDK_TPU_WARMUP,
+    SDK_TPU_RESTORE, SDK_TPU_SAVE_ON_EXIT, SDK_TPU_DENSE_LAYOUT;
+    SDK_TPU_HBM_BUDGET_BYTES sets the HBM capacity-guard budget when the
+    runtime reports no memory limit (e.g. tunneled devices), and
+    SDK_TPU_NO_CAPACITY_GUARD=1 disables the guard entirely
+    (kv_server._device_budget_bytes)."""
     import os
 
     # pull --mesh / --batch-window-ms out of argv (env vars as fallback)

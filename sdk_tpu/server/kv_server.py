@@ -84,6 +84,11 @@ class SpiralKvServer:
         # is a no-op — co-located TPU runtimes report bytes_limit and get
         # the protection automatically.
         self.hbm_budget_bytes: int | None = None
+        # planned max concurrent batch size for the capacity estimate
+        # (the coalescer pads to pow2; size the working set for the
+        # largest batch you intend to serve)
+        self.capacity_nq = 16
+        self._migration_refused = False
         if self.engine._sharded is not None:
             from ..ops.server_jax import db_zeros_device
 
@@ -113,6 +118,11 @@ class SpiralKvServer:
             return None
         if self.hbm_budget_bytes is not None:
             return self.hbm_budget_bytes
+        env = os.environ.get("SDK_TPU_HBM_BUDGET_BYTES")
+        if env:
+            # deployments whose runtime reports no memory_stats (e.g. the
+            # axon tunnel device) can still opt into the guard
+            return int(env)
         try:
             import jax
 
@@ -138,7 +148,9 @@ class SpiralKvServer:
         if self.engine._sharded is not None:
             ndev = self.engine._sharded.mesh.shape.get("db", 1)
         idx = index_hbm_bytes(params) // ndev
-        ws = serving_working_set_bytes(params)
+        ws = serving_working_set_bytes(params, nq=self.capacity_nq,
+                                       chunk=self.engine.batch_chunk)
+        ws += self.engine.stack_cache_budget_bytes()
         if idx + ws <= budget:
             return
         per_item = index_hbm_bytes(params) // params.num_items()
@@ -214,14 +226,31 @@ class SpiralKvServer:
         from ..ops.spiral_jax import CompactDb
 
         if (isinstance(self.engine.db, CompactDb)
+                and not self._migration_refused
                 and len(self._populated_items)
                 > self.dense_migrate_fill * self.params.num_items()):
-            self._check_capacity()   # refuse, don't OOM, if it can't fit
-            from ..kv.ingest import compact_to_dense
+            try:
+                self._check_capacity()   # refuse, don't OOM, if it can't fit
+            except BucketCapacityError as e:
+                # Degrade, don't die: the compact layout serves ANY fill
+                # (just slower per byte past the crossover), so a bucket
+                # that cannot afford the dense index stays compact and
+                # keeps serving. Raising here would turn every subsequent
+                # read into an error (flush runs lazily on the read path).
+                # Construction (sharded) and restore still raise — those
+                # are explicit operator actions.
+                import logging
 
-            self.engine.db = compact_to_dense(self.params, self.engine.db,
-                                              self.engine.dense_layout)
-            self._updates.slots.clear()
+                logging.getLogger(__name__).warning(
+                    "dense migration refused; serving stays compact: %s", e)
+                self._migration_refused = True
+            else:
+                from ..kv.ingest import compact_to_dense
+
+                self.engine.db = compact_to_dense(self.params,
+                                                  self.engine.db,
+                                                  self.engine.dense_layout)
+                self._updates.slots.clear()
         db = self._updates.flush(self.engine.db)
         if db is not self.engine.db and self.engine._sharded is not None:
             # the scatter may not preserve the NamedSharding; re-pin
@@ -375,6 +404,7 @@ class SpiralKvServer:
             self._updates.pending_raw.clear()
             self._populated_items.clear()
             self._pop_dirty = False
+            self._migration_refused = False
             self.engine.set_populated_dim0(None)
             self._stored_keys.clear()
             if self._key_bloom is not None:
@@ -481,6 +511,7 @@ class SpiralKvServer:
 
             with open(os.path.join(path, "state.json")) as f:
                 state = json.load(f)
+            self._migration_refused = False
             # memmap: planes stream file -> device one at a time instead of
             # materializing the whole multi-GB index in host RAM first
             db = np.load(os.path.join(path, "db_tensor.npy"), mmap_mode="r")
@@ -527,6 +558,13 @@ class SpiralKvServer:
             assert len(planes) == (crt if want_tp else crt * NUM_LIMBS)
             if state.get("db_format") != "compact":
                 self._check_capacity()   # refuse, don't OOM, mid-restore
+                # release the resident index BEFORE uploading the new one:
+                # holding both would transiently need ~2x the index bytes
+                # (the guard budgets one)
+                from ..ops.spiral_jax import compact_db_empty
+
+                self.engine.db = None if self.engine._sharded is not None \
+                    else compact_db_empty(self.params)
             db_dev = tuple(jnp.asarray(p) for p in planes)
             if state.get("db_format") == "compact":
                 assert self.engine._sharded is None

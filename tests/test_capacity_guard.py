@@ -27,16 +27,24 @@ def test_flush_refused_on_tiny_budget():
     srv.hbm_budget_bytes = index_hbm_bytes(params) // 2  # cannot fit dense
     srv.dense_migrate_fill = 0.0                         # force migration
     _write(srv, {"k": b"v"})
+    # migration refused -> logged once, bucket STAYS COMPACT and keeps
+    # serving (flush runs lazily on the read path, so raising there would
+    # turn every read into an error); _check_capacity's message names the
+    # max bucket size and both escape hatches
     with pytest.raises(BucketCapacityError) as ei:
-        with srv.lock:
-            srv._flush()
+        srv._check_capacity()
     msg = str(ei.value)
-    # the error must name the max bucket size and both escape hatches
     assert "Max bucket" in msg and "sharded" in msg and "dcn" in msg.lower()
-    # the server remains serviceable in its compact layout
+    with srv.lock:
+        srv._flush()          # does NOT raise: degrades to compact serving
+    assert srv._migration_refused
     from sdk_tpu.ops.spiral_jax import CompactDb
 
     assert isinstance(srv.engine.db, CompactDb)
+    # the bucket still serves reads bit-exactly after the refusal
+    from tests.util_protocol import read_via_protocol
+
+    assert read_via_protocol(srv, "k") == b"v"
 
 
 def test_flush_allowed_when_it_fits():
@@ -47,7 +55,8 @@ def test_flush_allowed_when_it_fits():
     params = get_fast_expansion_testing_params()
     srv = SpiralKvServer(params)
     srv.hbm_budget_bytes = (index_hbm_bytes(params)
-                            + serving_working_set_bytes(params)) * 2
+                            + serving_working_set_bytes(params)) * 2 \
+        + srv.engine.stack_cache_budget_bytes()
     srv.dense_migrate_fill = 0.0
     _write(srv, {"k": b"v"})
     with srv.lock:
