@@ -525,6 +525,16 @@ def _enable_jit_cache() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+METRIC_NAMES = {
+    "bench_spiral_p50_1gib": "spiral_p50_1gib",
+    "bench_spiral_batch16_protocol": "spiral_batch16_full_protocol",
+    "bench_spiral_sustained_qps": "spiral_sustained_qps",
+    "bench_doublepir_answer": "doublepir_answer_throughput",
+    "bench_scan_batch16": "spiral_scan_throughput_batch16",
+    "bench_scan_single_device": "spiral_scan_single_query_device_ms",
+}
+
+
 def main():
     benches = [bench_spiral_p50_1gib, bench_spiral_batch16_protocol,
                bench_spiral_sustained_qps, bench_doublepir_answer,
@@ -586,6 +596,12 @@ def main():
                    "unit": "ok", "vs_baseline": 0,
                    "error": "device tunnel unreachable (tiny fetch did not "
                             "complete in 300s) — no metrics can run"})
+            # one explicit error line PER metric, so a parser scanning for
+            # any metric name sees "errored", never "silently absent"
+            for fn in benches:
+                _emit({"metric": METRIC_NAMES.get(fn.__name__, fn.__name__),
+                       "value": 0, "unit": "error", "vs_baseline": 0,
+                       "error": "skipped: device tunnel unreachable"})
             return
 
     # Per-metric wall-clock bound: a dead device tunnel hangs jax backend

@@ -20,6 +20,18 @@ EXPECTED = {
 }
 
 
+def test_metric_names_map_matches_emitted():
+    """bench.METRIC_NAMES (used for the per-metric dead-tunnel error lines)
+    must cover exactly the real metric names — a drifted map would emit
+    error lines under the wrong metric name."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    assert set(bench.METRIC_NAMES.values()) == EXPECTED
+    for fname in bench.METRIC_NAMES:
+        assert callable(getattr(bench, fname, None)), fname
+
+
 def test_bench_tiny_emits_every_metric():
     env = dict(os.environ)
     env["SDK_TPU_BENCH_TINY"] = "1"
