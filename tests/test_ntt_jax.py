@@ -55,6 +55,27 @@ def test_lazy_input_accepted():
     np.testing.assert_array_equal(np.asarray(got).astype(np.uint64), want)
 
 
+def test_poly_major_layout_word_exact():
+    """The poly-major stage layout (batch in lanes, twiddles per row) must be
+    word-identical to the host oracle and the lane layout — forward and
+    inverse, including lazy (< 2^32) inputs."""
+    x = rand_stacked((5,))
+    want_f = ntt_host.ntt_forward(PARAMS, x)
+    got_f = jax.jit(lambda a: ntt_jax.ntt_forward(PARAMS, a, layout="poly"))(
+        jnp.asarray(x.astype(np.uint32)))
+    np.testing.assert_array_equal(np.asarray(got_f).astype(np.uint64), want_f)
+    got_i = jax.jit(lambda a: ntt_jax.ntt_inverse(PARAMS, a, layout="poly"))(
+        jnp.asarray(want_f.astype(np.uint32)))
+    np.testing.assert_array_equal(np.asarray(got_i).astype(np.uint64),
+                                  ntt_host.ntt_inverse(PARAMS, want_f))
+    lazy = RNG.integers(0, 1 << 32, (2, PARAMS.crt_count, PARAMS.poly_len),
+                        dtype=np.uint64)
+    want_l = ntt_host.ntt_forward(PARAMS, lazy)
+    got_l = jax.jit(lambda a: ntt_jax.ntt_forward(PARAMS, a, layout="poly"))(
+        jnp.asarray(lazy.astype(np.uint32)))
+    np.testing.assert_array_equal(np.asarray(got_l).astype(np.uint64), want_l)
+
+
 def test_ntt_chunked_matches_unchunked():
     """Batches above the chunk threshold run as lax.map chunks (keeps the 11
     stages on-chip); results must be identical to the direct form."""
